@@ -1,0 +1,190 @@
+"""Hashing primitives.
+
+``str_hash``/``sha1_u64`` reproduce the reference's paragraph hash exactly:
+first 8 bytes of ``sha1(utf8(s))`` reinterpreted as a little-endian uint64
+(``cc_net/dedup.py:29-30,51-57,281-292``). Spark's builtin ``sha1()``
+returns a hex string and ``xxhash64`` is a different function, so parity
+requires this UDF-side implementation. Values are carried in Spark
+``LongType`` as the *signed* reinterpretation of the uint64 bit pattern —
+callers must compare bit patterns, never magnitudes.
+
+The MinHash/SimHash/rolling-hash helpers are numpy-vectorized over whole
+Arrow batches; no per-row Python beyond the unavoidable per-string sha1
+calls (the reference itself loops ``hashlib.sha1`` per line,
+``cc_net/dedup.py:282-291``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+HASH_BYTES = 8
+U64 = np.uint64
+# Reserved sentinel: the reference zeroes hashes of removed paragraphs and
+# treats 0 as "already dropped" (``cc_net/dedup.py:160,312,426``). A real
+# paragraph hashing to exactly 0 would be dropped; we reproduce this edge.
+ZERO_SENTINEL = 0
+
+
+def str_hash(s: str) -> int:
+    """Reference-parity paragraph hash, returned as *signed* int64."""
+    d = hashlib.sha1(s.encode("utf-8")).digest()[:HASH_BYTES]
+    return int(np.frombuffer(d, dtype=np.int64, count=1)[0])
+
+
+def sha1_u64_series(s: pd.Series) -> pd.Series:
+    """Vectorized ``str_hash`` over a Series of (already normalized) strings.
+
+    Returns an int64 Series (bit pattern of the LE uint64). Nulls -> pd.NA.
+    """
+    out = np.zeros(len(s), dtype=np.int64)
+    mask = s.notna().to_numpy()
+    vals = s.fillna("").to_numpy(dtype=object)
+    # One sha1 per string, as the reference does; the buffer reinterpret is
+    # batched.
+    digests = b"".join(
+        hashlib.sha1(str(v).encode("utf-8")).digest()[:HASH_BYTES] for v in vals
+    )
+    if len(s):
+        out = np.frombuffer(digests, dtype=np.int64).copy()
+        out[~mask] = 0
+    res = pd.Series(out, index=s.index, dtype="Int64")
+    res[~mask] = pd.NA
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Deterministic 64-bit string hashing for shingles (fast path; does NOT need
+# reference parity — only self-consistency). Uses pandas' SipHash-1-3 with
+# its fixed default key, which is stable across processes and executors.
+# ---------------------------------------------------------------------------
+
+
+def hash_str_array_u64(values: np.ndarray | pd.Series | list) -> np.ndarray:
+    """Hash an array of strings to uint64, vectorized."""
+    s = pd.Series(values, dtype=object)
+    return pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=U64)
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE61 = U64((1 << 61) - 1)
+
+
+def minhash_params(num_perm: int, seed: int = 1337) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) coefficients for `num_perm` universal-hash permutations."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | U64(1)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    flat_hashes: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> np.ndarray:
+    """MinHash signatures for a batch of documents at once.
+
+    flat_hashes: uint64 shingle hashes of all docs concatenated.
+    offsets: int64 array of len n_docs+1; doc i owns flat[offsets[i]:offsets[i+1]].
+    Returns (n_docs, num_perm) uint64. Docs with zero shingles get all-max
+    signatures (never match anything).
+
+    Permutation k is ``(a_k * h + b_k) mod (2^61 - 1)`` evaluated with
+    uint64 wraparound on the multiply (a standard multiply-shift family —
+    collisions are astronomically unlikely at corpus scale, and the exact
+    family only needs to be consistent across the corpus, not with the
+    reference). Segment minima use ``np.minimum.reduceat`` so the whole
+    batch is one vectorized pass per permutation chunk.
+    """
+    n_docs = len(offsets) - 1
+    num_perm = len(a)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=U64)
+    if len(flat_hashes) == 0:
+        return sig
+    nonempty = offsets[:-1] < offsets[1:]
+    starts = offsets[:-1][nonempty]
+    # chunk permutations to bound the (chunk, n_flat) temporary
+    chunk = max(1, int(8_000_000 // max(1, len(flat_hashes))))
+    for k0 in range(0, num_perm, chunk):
+        k1 = min(num_perm, k0 + chunk)
+        # (kc, n_flat) with uint64 wraparound
+        vals = a[k0:k1, None] * flat_hashes[None, :] + b[k0:k1, None]
+        vals &= np.uint64((1 << 61) - 1)  # cheap mod substitute, keeps 61 bits
+        mins = np.minimum.reduceat(vals, starts, axis=1)
+        sig[nonempty, k0:k1] = mins.T
+    return sig
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(
+    flat_hashes: np.ndarray, offsets: np.ndarray, weights: np.ndarray | None = None
+) -> np.ndarray:
+    """64-bit SimHash per document from flat token hashes + offsets.
+
+    Bit j of the output is 1 iff the (weighted) count of tokens with bit j
+    set exceeds half the (weighted) token count. Returns int64 (bit pattern).
+    Empty docs get signature 0.
+    """
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.int64)
+    if len(flat_hashes) == 0:
+        return out
+    if weights is None:
+        weights = np.ones(len(flat_hashes), dtype=np.float64)
+    # (n_flat, 64) bit matrix, built from the u64 view as 8 bytes each
+    bytes_view = flat_hashes.astype("<u8").view(np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(bytes_view, axis=1, bitorder="little").astype(np.float64)
+    bits *= weights[:, None]
+    nonempty = offsets[:-1] < offsets[1:]
+    starts = offsets[:-1][nonempty]
+    sums = np.add.reduceat(bits, starts, axis=0)
+    totals = np.add.reduceat(weights, starts)
+    sig_bits = (sums > (totals[:, None] / 2.0)).astype(np.uint8)
+    packed = np.packbits(sig_bits, axis=1, bitorder="little").view("<u8").reshape(-1)
+    out[nonempty] = packed.view(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rolling polynomial hash over all length-L character windows (stride 1).
+# Used by the substring-overlap pass (SURVEY.md §7.1 step 7).
+# ---------------------------------------------------------------------------
+
+_ROLL_P = U64(1000003)  # odd -> invertible mod 2^64
+_ROLL_P_INV = U64(pow(1000003, -1, 1 << 64))
+
+
+def window_hashes(text: str, L: int) -> np.ndarray:
+    """uint64 hashes of every length-L character window of `text`.
+
+    Position-independent polynomial hash mod 2^64, computed fully
+    vectorized via the prefix trick: with prefix P[k] = sum c[j] p^(k-1-j),
+    window hash at i is P[i+L] - P[i] * p^L. P[k] itself is computed as
+    p^k * cumsum(c[j] * p^(-1-j)) using the modular inverse of p, so the
+    whole thing is O(n) numpy with uint64 wraparound.
+    """
+    n = len(text)
+    if n < L:
+        return np.empty(0, dtype=U64)
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(U64)
+    # p^k and p^-(j+1) tables via cumprod (wraparound is fine: * is mod 2^64)
+    pows = np.empty(n + 1, dtype=U64)
+    pows[0] = 1
+    np.multiply.accumulate(np.full(n, _ROLL_P, dtype=U64), out=pows[1:])
+    invpows = np.multiply.accumulate(np.full(n, _ROLL_P_INV, dtype=U64))
+    s = np.zeros(n + 1, dtype=U64)
+    np.add.accumulate(c * invpows, out=s[1:])
+    prefix = pows * s
+    return prefix[L:] - prefix[:-L] * pows[L]

@@ -1,0 +1,135 @@
+"""Text normalization with byte-level parity to the reference.
+
+The dedup hash is computed over ``normalize_for_dedup(line)`` so the
+normalizer must match the reference byte-for-byte
+(``cc_net/text_normalizer.py:180-189``): strip -> lowercase -> unicode
+digits -> "0" -> remove the 36-entry unicode-punctuation set and C0/C1
+control chars. Accents are *kept* in the dedup normalizer (they are only
+stripped by the general ``normalize``, ``cc_net/text_normalizer.py:158-173``).
+
+Everything here is vectorized over pandas Series (Arrow batches); the
+Python ``re`` module is used (not RE2) so ``\\d`` matches unicode digits
+exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+
+# The typographic/CJK punctuation translation table of the reference
+# (``cc_net/text_normalizer.py:10-45``). Replacement values matter only for
+# ``replace_unicode_punct``; for dedup the *key set* is what must match.
+UNICODE_PUNCT: dict[str, str] = {
+    "，": ",",
+    "。": ".",
+    "、": ",",
+    "„": '"',
+    "”": '"',
+    "“": '"',
+    "«": '"',
+    "»": '"',
+    "１": '"',
+    "」": '"',
+    "「": '"',
+    "《": '"',
+    "》": '"',
+    "´": "'",
+    "∶": ":",
+    "：": ":",
+    "？": "?",
+    "！": "!",
+    "（": "(",
+    "）": ")",
+    "；": ";",
+    "–": "-",
+    "—": " - ",
+    "．": ". ",
+    "～": "~",
+    "’": "'",
+    "…": "...",
+    "━": "-",
+    "〈": "<",
+    "〉": ">",
+    "【": "[",
+    "】": "]",
+    "％": "%",
+    "►": "-",
+}
+
+UNICODE_PUNCT_RE = re.compile("[" + "".join(UNICODE_PUNCT) + "]")
+# C0 (0-31) and C1 (127-159) control characters
+# (``cc_net/text_normalizer.py:69-71``).
+NON_PRINTING_CHARS_RE = re.compile(
+    "[" + "".join(map(chr, [*range(0, 32), *range(127, 160)])) + "]"
+)
+DIGIT_RE = re.compile(r"\d")
+# Single combined class, as the reference builds it
+# (``cc_net/text_normalizer.py:73-75``).
+PUNCT_OR_NON_PRINTING_CHARS_RE = re.compile(
+    (UNICODE_PUNCT_RE.pattern + NON_PRINTING_CHARS_RE.pattern).replace("][", "")
+)
+
+
+def replace_unicode_punct(text: str) -> str:
+    """Map typographic/CJK punctuation to ASCII (``text_normalizer.py:50-51``)."""
+    return "".join(UNICODE_PUNCT.get(c, c) for c in text)
+
+
+def remove_unicode_punct(text: str) -> str:
+    """Delete the same punctuation set (``text_normalizer.py:54-56``)."""
+    return UNICODE_PUNCT_RE.sub("", text)
+
+
+def strip_accents(text: str) -> str:
+    """NFD-decompose and drop combining marks (``text_normalizer.py:59-65``)."""
+    nfd = unicodedata.normalize("NFD", text)
+    return "".join(c for c in nfd if unicodedata.category(c) != "Mn")
+
+
+def remove_non_printing_char(text: str) -> str:
+    return NON_PRINTING_CHARS_RE.sub("", text)
+
+
+def normalize(
+    text: str, accent: bool = True, case: bool = True, numbers: bool = True, punct: int = 1
+) -> str:
+    """General normalizer (``cc_net/text_normalizer.py:158-173``)."""
+    text = text.strip()
+    if not text:
+        return text
+    if case:
+        text = text.lower()
+    if accent:
+        text = strip_accents(text)
+    if numbers:
+        text = DIGIT_RE.sub("0", text)
+    if punct == 1:
+        text = replace_unicode_punct(text)
+    elif punct == 2:
+        text = remove_unicode_punct(text)
+    return remove_non_printing_char(text)
+
+
+def normalize_for_dedup(text: str) -> str:
+    """The dedup canonicalization (``cc_net/text_normalizer.py:180-189``)."""
+    text = text.strip()
+    if not text:
+        return text
+    text = text.lower()
+    text = DIGIT_RE.sub("0", text)
+    return PUNCT_OR_NON_PRINTING_CHARS_RE.sub("", text)
+
+
+def normalize_for_dedup_series(s: pd.Series) -> pd.Series:
+    """Vectorized ``normalize_for_dedup`` over a pandas Series of strings.
+
+    Equivalent to ``s.map(normalize_for_dedup)`` but using pandas' fused
+    string kernels. Nulls pass through as nulls.
+    """
+    s = s.astype("string").str.strip().str.lower()
+    s = s.str.replace(DIGIT_RE, "0", regex=True)
+    s = s.str.replace(PUNCT_OR_NON_PRINTING_CHARS_RE, "", regex=True)
+    return s
