@@ -73,14 +73,20 @@ def hash_str_array_u64(values: np.ndarray | pd.Series | list) -> np.ndarray:
 # MinHash
 # ---------------------------------------------------------------------------
 
-_MERSENNE61 = U64((1 << 61) - 1)
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a full-avalanche 64-bit mixer (public domain
+    constant set, Steele et al. 2014). All ops wrap mod 2^64."""
+    z = z + U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
+    return z ^ (z >> U64(31))
 
 
 def minhash_params(num_perm: int, seed: int = 1337) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded (a, b) coefficients for `num_perm` universal-hash permutations."""
+    """Seeded per-permutation keys (second array kept for API symmetry)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | U64(1)
-    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    a = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -97,12 +103,12 @@ def minhash_signatures(
     Returns (n_docs, num_perm) uint64. Docs with zero shingles get all-max
     signatures (never match anything).
 
-    Permutation k is ``(a_k * h + b_k) mod (2^61 - 1)`` evaluated with
-    uint64 wraparound on the multiply (a standard multiply-shift family —
-    collisions are astronomically unlikely at corpus scale, and the exact
-    family only needs to be consistent across the corpus, not with the
-    reference). Segment minima use ``np.minimum.reduceat`` so the whole
-    batch is one vectorized pass per permutation chunk.
+    "Permutation" k ranks shingles by ``splitmix64(h ^ key_k) + b_k`` — a
+    full-avalanche mix, so minima are unbiased Jaccard estimators (the
+    earlier multiply-mask family measurably biased estimates low). The
+    family only needs corpus-wide consistency, not reference parity.
+    Segment minima use ``np.minimum.reduceat`` so the whole batch is one
+    vectorized pass per permutation chunk.
     """
     n_docs = len(offsets) - 1
     num_perm = len(a)
@@ -115,9 +121,7 @@ def minhash_signatures(
     chunk = max(1, int(8_000_000 // max(1, len(flat_hashes))))
     for k0 in range(0, num_perm, chunk):
         k1 = min(num_perm, k0 + chunk)
-        # (kc, n_flat) with uint64 wraparound
-        vals = a[k0:k1, None] * flat_hashes[None, :] + b[k0:k1, None]
-        vals &= np.uint64((1 << 61) - 1)  # cheap mod substitute, keeps 61 bits
+        vals = _splitmix64(flat_hashes[None, :] ^ a[k0:k1, None]) + b[k0:k1, None]
         mins = np.minimum.reduceat(vals, starts, axis=1)
         sig[nonempty, k0:k1] = mins.T
     return sig

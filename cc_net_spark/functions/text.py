@@ -1,0 +1,150 @@
+"""Text-analysis operators for a training-data pipeline: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+These fill the reference's LID/LM-scoring slots (``cc_net/split_by_lang.py``,
+``cc_net/perplexity.py``) with model-free, JVM-side expressions: everything
+here is built from ``pyspark.sql.functions`` (whole-stage codegen) — no
+Python in the hot path at all. The per-language stopword lists play the
+role of fastText (``split_by_lang.py:52-135``); the length/ratio features
+play the role of the KenLM perplexity score (``perplexity.py:135-253``);
+the percentile bucketing mirrors ``PerplexityBucket``
+(``perplexity.py:256-288``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# compact, disjoint-ish stopword marker sets (top function words per language)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"],
+    "es": ["el", "los", "las", "es", "una", "en", "que", "por", "con", "para"],
+    "it": ["il", "gli", "che", "non", "una", "per", "sono", "con", "del", "si"],
+}
+
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"  # BPE-ish word/number/punct split
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit count (the LID signal)."""
+    words = _words(text)
+    return {
+        lang: F.size(F.filter(words, lambda w: w.isin(*sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """argmax-by-stopword-count language ID; deterministic tie-break by
+    language code ('und' if no stopword matched at all)."""
+    scores = lang_scores(F.col(text_col))
+    # build a sortable array of (score, lang) structs; max = last after sort
+    pairs = F.array(
+        *[
+            F.struct(c.alias("score"), F.lit(lang).alias("lang"))
+            for lang, c in sorted(scores.items(), reverse=True)
+        ]
+    )
+    best = F.array_max(pairs)
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio features (model-free quality
+    scoring — the perplexity stand-in)."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    en_sw = STOPWORDS["en"]
+    sw_hits = F.size(F.filter(words, lambda w: w.isin(*en_sw)))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.when(n_words > 0, (F.length(F.array_join(words, ""))).cast("double") / n_words)
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.when(n_words > 0, sw_hits.cast("double") / n_words).otherwise(F.lit(0.0)), 6
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)), 6
+            ),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(
+                F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0)), 6
+            ),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.round(
+                F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(F.lit(0.0)), 6
+            ),
+        )
+    )
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + distinct words."""
+    t = F.col(text_col)
+    words = _words(t)
+    return (
+        df.withColumn("ws_tokens", F.size(words))
+        .withColumn("regex_tokens", F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)))
+        .withColumn("distinct_tokens", F.size(F.array_distinct(words)))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 hex of the
+    whitespace-canonicalized lowercase text (portable across engines)."""
+    canon = F.array_join(_words(F.col(text_col)), " ")
+    return df.withColumn(out_col, F.md5(canon))
+
+
+def percentile_bucket(
+    df: DataFrame,
+    value_col: str,
+    *,
+    head_pct: float = 0.30,
+    tail_pct: float = 0.60,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """head/middle/tail bucketing by global percentile cutoffs — the shape
+    of PerplexityBucket (``cc_net/perplexity.py:256-288``) with computed
+    cutoffs instead of a shipped CSV. Two-pass: one tiny agg (broadcast
+    scalar), one map."""
+    cuts = df.agg(
+        F.percentile_approx(value_col, head_pct, 100_000).alias("c_head"),
+        F.percentile_approx(value_col, tail_pct, 100_000).alias("c_tail"),
+    ).collect()[0]
+    v = F.col(value_col)
+    bucket = (
+        F.when(v <= cuts["c_head"], F.lit("head"))
+        .when(v <= cuts["c_tail"], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return df.withColumn(out_col, bucket)

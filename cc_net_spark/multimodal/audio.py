@@ -1,0 +1,223 @@
+"""Audio payload handling.
+
+Audio travels as an opaque ``binary`` column with typed metadata
+(``sr_hz``, ``dur_ms``, ``codec``) per the input contract. Rules:
+
+* ``bytes`` must never ride through text-only stages — every operator in
+  this package selects explicit columns so Parquet column pruning drops
+  the payload (SURVEY.md §7.3).
+* Decode happens only inside Arrow-batched UDFs, only where an invariant
+  or feature needs PCM.
+* ``pcm_s16le`` in a WAV/RIFF container is implemented for real with
+  numpy. ``flac``/``opus`` decode is a clearly-marked STUB
+  (NotImplementedError): the codec libraries are not available in this
+  environment; the Spark-side plumbing (schema, batching, dispatch) is
+  real and tested against the stub.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUPPORTED_CODECS = ("pcm_s16le",)
+STUB_CODECS = ("flac", "opus")
+
+
+# ---------------------------------------------------------------------------
+# WAV/RIFF PCM16 codec (pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def wav_encode_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """float32 [-1, 1] mono -> WAV (RIFF, PCM16LE)."""
+    x = np.clip(pcm, -1.0, 1.0)
+    data = (x * 32767.0).astype("<i2").tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
+def wav_decode_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
+    """WAV (RIFF, PCM16LE mono) -> (sr_hz, float32 pcm in [-1, 1])."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos = 12
+    sr_hz = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, sr_hz = struct.unpack("<HHI", body[:8])
+            if fmt_tag != 1 or channels != 1:
+                raise ValueError(f"unsupported wav fmt tag={fmt_tag} ch={channels}")
+        elif cid == b"data":
+            if sr_hz is None:
+                raise ValueError("data chunk before fmt chunk")
+            pcm = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32768.0
+            return sr_hz, pcm
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def decode_clip(codec: str, blob: bytes) -> tuple[int, np.ndarray]:
+    """Dispatch decode by codec. flac/opus are STUBS (no codec libs here)."""
+    if codec == "pcm_s16le":
+        return wav_decode_pcm16(blob)
+    if codec in STUB_CODECS:
+        # STUB: real decode requires libsndfile/libopus, unavailable in this
+        # environment. The dispatch, schema and batch plumbing are real.
+        raise NotImplementedError(f"decode for codec '{codec}' is stubbed out")
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of `test` against reference PCM, in dB."""
+    n = min(len(ref), len(test))
+    if n == 0:
+        return float("-inf")
+    ref, test = ref[:n].astype(np.float64), test[:n].astype(np.float64)
+    noise = ref - test
+    p_sig = float(np.mean(ref**2))
+    p_noise = float(np.mean(noise**2))
+    if p_noise == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_noise)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side operators
+# ---------------------------------------------------------------------------
+
+
+def with_audio_meta(df: DataFrame, *, bytes_col: str = "bytes") -> DataFrame:
+    """Parse container metadata (parsed_sr_hz, n_samples) — batch UDF over
+    the binary column; only this stage reads the payload."""
+    cols = [c for c in df.columns]
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs = np.zeros(len(pdf), dtype=np.int64)
+            ns = np.zeros(len(pdf), dtype=np.int64)
+            for i, (codec, blob) in enumerate(zip(pdf["codec"], pdf[bytes_col])):
+                try:
+                    sr, pcm = decode_clip(codec, bytes(blob))
+                    srs[i], ns[i] = sr, len(pcm)
+                except NotImplementedError:
+                    srs[i], ns[i] = -1, -1
+            out = pdf.copy()
+            out["parsed_sr_hz"] = srs
+            out["n_samples"] = ns
+            yield out
+
+    schema = df.schema.simpleString()[7:-1] + ", parsed_sr_hz long, n_samples long"
+    return df.mapInPandas(compute, schema=schema)
+
+
+def pair_audio_invariants(
+    pairs: DataFrame, clips: DataFrame, id_col: str = "clip_id", *, min_snr_db: float = 30.0
+) -> DataFrame:
+    """Per-pair invariants for planted-equivalent clips: decoded-PCM
+    allclose at SNR >= threshold + (normalized) transcript equality.
+
+    Returns (id_a, id_b, snr_db double, transcript_equal boolean,
+    pcm_ok boolean). The audio payload is read only here.
+    """
+    side = clips.select(
+        F.col(id_col), F.col("codec"), F.col("bytes"), F.col("transcript")
+    )
+    a = (
+        side.withColumnRenamed(id_col, "id_a")
+        .withColumnRenamed("codec", "_ca")
+        .withColumnRenamed("bytes", "_ba")
+        .withColumnRenamed("transcript", "_ta")
+    )
+    b = (
+        side.withColumnRenamed(id_col, "id_b")
+        .withColumnRenamed("codec", "_cb")
+        .withColumnRenamed("bytes", "_bb")
+        .withColumnRenamed("transcript", "_tb")
+    )
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cc_net_spark.functions.normalize import normalize_for_dedup
+
+        for pdf in batches:
+            snrs = np.full(len(pdf), -np.inf)
+            for i, (ca, ba, cb, bb) in enumerate(
+                zip(pdf["_ca"], pdf["_ba"], pdf["_cb"], pdf["_bb"])
+            ):
+                try:
+                    _, pa = decode_clip(ca, bytes(ba))
+                    _, pb = decode_clip(cb, bytes(bb))
+                    snrs[i] = snr_db(pa, pb)
+                except NotImplementedError:
+                    snrs[i] = np.nan
+            teq = [
+                normalize_for_dedup(x or "") == normalize_for_dedup(y or "")
+                for x, y in zip(pdf["_ta"], pdf["_tb"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "snr_db": np.where(np.isfinite(snrs), snrs, 1e9 * np.sign(snrs)),
+                    "transcript_equal": teq,
+                    "pcm_ok": snrs >= min_snr_db,
+                }
+            )
+
+    return joined.mapInPandas(
+        compute,
+        schema="id_a string, id_b string, snr_db double, transcript_equal boolean, pcm_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (real, numpy-only) + frame sampling
+# ---------------------------------------------------------------------------
+
+
+def audio_features(
+    clips: DataFrame, id_col: str = "clip_id", *, frame: int = 512
+) -> DataFrame:
+    """(id, rms double, zero_crossings long, spectral_centroid double) —
+    vectorized per clip; stubbed codecs yield nulls."""
+    src = clips.select(id_col, "codec", "bytes")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, zc, cent = [], [], []
+            for codec, blob in zip(pdf["codec"], pdf["bytes"]):
+                try:
+                    sr, pcm = decode_clip(codec, bytes(blob))
+                except NotImplementedError:
+                    rms.append(None), zc.append(None), cent.append(None)
+                    continue
+                rms.append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+                zc.append(int(np.count_nonzero(np.diff(np.signbit(pcm)))))
+                if len(pcm) >= frame:
+                    spec = np.abs(np.fft.rfft(pcm[: len(pcm) // frame * frame].reshape(-1, frame), axis=1))
+                    freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
+                    power = spec.sum(axis=0)
+                    cent.append(float((freqs * power).sum() / power.sum()) if power.sum() else 0.0)
+                else:
+                    cent.append(0.0)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "rms": rms, "zero_crossings": zc, "spectral_centroid": cent}
+            )
+
+    return src.mapInPandas(
+        compute,
+        schema=f"{id_col} string, rms double, zero_crossings long, spectral_centroid double",
+    )

@@ -1,0 +1,207 @@
+"""Approximate nearest-neighbor search over an embedding column
+(``array<float>``) — similarity-search operators for a training-data
+pipeline (embedding-cosine near-dup, retrieval).
+
+Three tiers:
+
+* ``brute_force_topk`` — exact cosine top-k via a JVM-side cross join
+  (``F.zip_with`` dot product). Correctness baseline; O(Q*N), fine when
+  either side is small (the query side broadcasts).
+* ``brute_force_topk_matmul`` — exact top-k with the corpus partitioned
+  and the *queries* broadcast into a numpy matmul per partition
+  (mapInPandas + Arrow). Per-partition top-k then a global top-k reduce:
+  the scale path for exact search (linear scan, no shuffle of the corpus).
+* ``lsh_topk`` — random-hyperplane LSH: bucket by sign-bit bands, search
+  only within matching buckets. Sub-linear candidate generation at the
+  cost of recall; same verification join as the exact path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — exact, JVM-side expressions.
+
+    Cosine is computed in double and rounded before ranking so results are
+    reproducible across engines; ties break by neighbor id. Self-matches
+    are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_cv")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def brute_force_topk_matmul(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k at scale: queries collected+broadcast as one numpy
+    matrix; each corpus partition does a single matmul and emits its local
+    top-k; a global window reduces to the final top-k. The corpus is
+    scanned once, never shuffled (only Q*k*P candidate rows move)."""
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows])
+    qm = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    qn = qm / np.maximum(1e-12, np.linalg.norm(qm, axis=1, keepdims=True))
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qn))
+
+    src = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+
+    def topk_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_l, qn_l = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+            cn = cm / np.maximum(1e-12, np.linalg.norm(cm, axis=1, keepdims=True))
+            sims = qn_l @ cn.T  # (Q, B)
+            kk = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = []
+            for qi in range(sims.shape[0]):
+                for ci in idx[qi]:
+                    out.append((q_ids_l[qi], pdf["neighbor_id"].iloc[ci], float(sims[qi, ci])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    cand = src.mapInPandas(topk_part, schema="query_id long, neighbor_id long, cosine double")
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig long): sign-bit signature under seeded random hyperplanes."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bits, dim))
+    sc = df.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+    src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        weights = (1 << np.arange(pl.shape[0], dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+            bits = (m @ pl.T) > 0  # (B, n_bits)
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+
+    return src.mapInPandas(compute, schema=f"{id_col} long, sig long")
+
+
+def lsh_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """All-pairs LSH search: candidates = same band value; rerank by exact
+    cosine; top-k per vector. Recall < 1 by design (bucketing)."""
+    sigs = hyperplane_signatures(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, n_bits=n_bits, seed=seed
+    )
+    width = n_bits // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    bucketed = sigs.select(id_col, F.explode(band_structs).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
+    )
+    left = bucketed.select("band", "key", F.col(id_col).alias("query_id"))
+    right = bucketed.select("band", "key", F.col(id_col).alias("neighbor_id"))
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    scored = (
+        cand.join(vecs.select(F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")), "query_id")
+        .join(vecs.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv")), "neighbor_id")
+        .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,108 @@
+"""Connected components over the duplicate-pair edge list -> cluster ids.
+
+Alternating large-star / small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) expressed purely as DataFrame
+groupBy/join rounds — converges in O(log n) rounds, no GraphFrames
+dependency, no driver-side graph. Each round is localCheckpoint()ed to cut
+lineage (the reference has no equivalent; its components are implicit in a
+shared hash table).
+
+Deterministic labels: cluster_id = min(node id) of the component
+(lexicographic for strings), so re-runs are byte-stable (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient (big, small), drop self-loops, distinct."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("_m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, connect everything
+    to the minimum."""
+    oriented = _canonical(edges)  # src > dst
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
+    nbrs = oriented.unionByName(
+        oriented.select(F.col("src"), F.col("src").alias("dst")).distinct()
+    )
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") != F.col("_m"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # mod before summing: ANSI mode (Spark 4 default) rejects long overflow
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst") % F.lit(1_000_000_007)), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``edges``.
+
+    cluster_id = min member id of the component. Isolated nodes don't
+    appear (join your full id set with a coalesce to get singletons).
+    """
+    e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e = e.localCheckpoint()
+    prev = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+    # Converged state is a star set: every edge is (member, root). Roots
+    # themselves appear only as dst, so add their self-assignments.
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("cluster_id")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def assign_clusters(
+    ids: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, cluster_id) over the FULL id set: singletons get their own id."""
+    joined = ids.select(F.col(id_col)).join(
+        components.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    return joined.select(
+        F.col(id_col), F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )

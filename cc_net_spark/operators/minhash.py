@@ -1,0 +1,177 @@
+"""MinHash + LSH near-duplicate detection (SURVEY.md §7.1 step 4).
+
+Extends the reference's exact SHA1-paragraph dedup (``cc_net/dedup.py``)
+to near-dup detection over whole transcripts. Spark-first shape:
+
+  scan -> ONE mapInPandas (normalize + shingle + hash + MinHash signature,
+  all numpy-vectorized over the Arrow batch; no shuffle) ->
+  JVM-side band keys (xxhash64 over signature slices) -> explode ->
+  bucket self-join (candidate pairs, skew-capped) ->
+  exact-Jaccard verification with native array_intersect/array_union.
+
+Signature computation needs no groupBy/explode at all — the whole
+signature stage is a narrow map, so at 10^12 rows it scales linearly with
+no shuffle until the (much smaller) band table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cc_net_spark.functions.hashing import (
+    hash_str_array_u64,
+    minhash_params,
+    minhash_signatures,
+    window_hashes,
+)
+from cc_net_spark.functions.normalize import normalize_for_dedup_series
+from cc_net_spark.operators.pairs import candidate_pairs
+
+
+def _batch_shingles(
+    texts: pd.Series, n: int, mode: str
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Distinct shingle hashes for a batch: (flat u64, offsets, per-row arrays).
+
+    Word mode materializes n-gram strings and hashes them in ONE vectorized
+    SipHash call over the whole batch; char mode never materializes strings
+    (rolling polynomial hash over unicode codepoints).
+    """
+    norm = normalize_for_dedup_series(texts).fillna("")
+    per_row: list[np.ndarray] = []
+    if mode == "char":
+        for t in norm:
+            per_row.append(np.unique(window_hashes(t, n)))
+    else:
+        all_grams: list[str] = []
+        counts = np.zeros(len(norm), dtype=np.int64)
+        for i, t in enumerate(norm):
+            toks = t.split()
+            grams = [" ".join(toks[j : j + n]) for j in range(max(0, len(toks) - n + 1))]
+            all_grams.extend(grams)
+            counts[i] = len(grams)
+        flat_all = hash_str_array_u64(all_grams) if all_grams else np.empty(0, np.uint64)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        for i in range(len(norm)):
+            per_row.append(np.unique(flat_all[bounds[i] : bounds[i + 1]]))
+    offsets = np.concatenate([[0], np.cumsum([len(a) for a in per_row])]).astype(np.int64)
+    flat = np.concatenate(per_row) if per_row else np.empty(0, np.uint64)
+    return flat.astype(np.uint64), offsets, per_row
+
+
+def shingle_signatures(
+    df: DataFrame,
+    field: str,
+    id_col: str,
+    *,
+    shingle_size: int = 5,
+    mode: str = "word",
+    num_perm: int = 128,
+    seed: int = 1337,
+    keep_shingles: bool = True,
+) -> DataFrame:
+    """(id, n_shingles, [shingles], sig) — one narrow mapInPandas, no shuffle.
+
+    ``shingles`` (distinct u64 shingle hashes, as signed int64) are kept by
+    default for exact-Jaccard verification; at extreme scale pass
+    ``keep_shingles=False`` and verify on signatures instead.
+    """
+    a, b = minhash_params(num_perm, seed)
+    shingle_cols = ", shingles array<long>" if keep_shingles else ""
+    out_schema = f"{id_col} string, n_shingles int{shingle_cols}, sig array<long>"
+    src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(field))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flat, offsets, per_row = _batch_shingles(pdf[field], shingle_size, mode)
+            sig = minhash_signatures(flat, offsets, a, b).view(np.int64)
+            out = {
+                id_col: pdf[id_col],
+                "n_shingles": pd.Series(
+                    (offsets[1:] - offsets[:-1]).astype(np.int32), index=pdf.index
+                ),
+            }
+            if keep_shingles:
+                out["shingles"] = pd.Series(
+                    [arr.view(np.int64) for arr in per_row], index=pdf.index
+                )
+            out["sig"] = pd.Series(list(sig), index=pdf.index)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(compute, schema=out_schema)
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, *, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, key): band key = xxhash64 over a signature slice — JVM-side."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig_df.select(id_col, F.explode(band_structs).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
+    )
+
+
+def minhash_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    *,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    bucket_cap: int = 200,
+    with_metrics: bool = False,
+):
+    bands_df = lsh_bands(sig_df, id_col, bands=bands, rows_per_band=rows_per_band)
+    return candidate_pairs(
+        bands_df, ["band", "key"], id_col, bucket_cap=bucket_cap, with_metrics=with_metrics
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, sig_df: DataFrame, id_col: str, *, threshold: float = 0.8
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with exact shingle-set Jaccard >= t.
+
+    Runs entirely JVM-side: two joins to fetch shingle arrays +
+    array_intersect/array_union. The small side (pairs) usually broadcasts
+    under AQE.
+    """
+    sh = sig_df.select(F.col(id_col), F.col("shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def estimated_jaccard(
+    pairs: DataFrame, sig_df: DataFrame, id_col: str, *, threshold: float = 0.8
+) -> DataFrame:
+    """Signature-estimated Jaccard (fraction of agreeing minhashes) — the
+    shingle-free verification path for extreme scale."""
+    a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
+    b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    agree = F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
+    est = agree.cast("double") / F.size("_sig_a").cast("double")
+    return (
+        joined.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )

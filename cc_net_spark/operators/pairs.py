@@ -1,0 +1,85 @@
+"""Bucket -> candidate-pair generation, shared by the MinHash-LSH, SimHash
+and substring passes.
+
+This is the skew-critical operator (SURVEY.md §4 "custom physical
+strategies"): a degenerate bucket (boilerplate transcript, hot paragraph,
+silence) generates O(m^2) pairs. Defense in depth:
+
+* bucket-size cap: buckets above ``bucket_cap`` are dropped *with metrics*
+  (count of dropped buckets + dropped member rows — no silent truncation),
+* the self-join runs under AQE with skew-join splitting enabled,
+* callers can salt upstream (e.g. split a pathological key by a salt
+  column) — see ``salted_bucket_sizes``.
+
+The reference has no counterpart (cc_net never generates pairs); this is
+the graft's own Spark-native machinery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PairGenMetrics:
+    n_buckets: int
+    n_buckets_dropped: int
+    n_rows_dropped: int
+
+
+def candidate_pairs(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    bucket_cap: int = 200,
+    with_metrics: bool = False,
+):
+    """All unordered id pairs co-occurring in a bucket, ``id_a < id_b``.
+
+    ``bucketed``: one row per (bucket, id). Buckets larger than
+    ``bucket_cap`` are excluded (their pair count is quadratic; at corpus
+    scale they are near-always boilerplate that exact dedup already
+    handles). Returns distinct pairs; with ``with_metrics`` also returns
+    drop counters.
+    """
+    b = bucketed.select(*bucket_cols, id_col).dropDuplicates([*bucket_cols, id_col])
+    sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    ok = sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= bucket_cap))
+    kept = b.join(ok.select(*bucket_cols), bucket_cols, "inner")
+
+    left = kept.select(*bucket_cols, F.col(id_col).alias("id_a"))
+    right = kept.select(*bucket_cols, F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, bucket_cols, "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not with_metrics:
+        return pairs
+    m = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("_bsz") > bucket_cap, 1).otherwise(0)).alias("dropped"),
+        F.sum(F.when(F.col("_bsz") > bucket_cap, F.col("_bsz")).otherwise(0)).alias(
+            "rows_dropped"
+        ),
+    ).collect()[0]
+    return pairs, PairGenMetrics(
+        n_buckets=m["n_buckets"] or 0,
+        n_buckets_dropped=m["dropped"] or 0,
+        n_rows_dropped=m["rows_dropped"] or 0,
+    )
+
+
+def salted_bucket_sizes(bucketed: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """Bucket-size profile (for skew diagnostics / deciding caps)."""
+    return (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy(F.desc("bucket_size"))
+    )

@@ -1,0 +1,97 @@
+"""SimHash near-duplicate pass (SURVEY.md §7.1 step 6).
+
+64-bit SimHash over the token multiset of the dedup-normalized text,
+computed in one narrow mapInPandas (numpy bit-matrix, no shuffle).
+Candidate generation for Hamming distance <= k uses the pigeonhole
+banding trick: split the 64 bits into k+1 contiguous bands — two
+signatures within distance k must agree exactly on at least one band, so
+an equi-join per band finds all candidates. Verification is JVM-side:
+``bit_count(sig_a ^ sig_b) <= k``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cc_net_spark.functions.hashing import hash_str_array_u64, simhash64
+from cc_net_spark.functions.normalize import normalize_for_dedup_series
+from cc_net_spark.operators.pairs import candidate_pairs
+
+
+def simhash_signatures(df: DataFrame, field: str, id_col: str) -> DataFrame:
+    """(id, simhash long) — narrow map, tokens = whitespace split of the
+    normalized text, token weight = multiplicity."""
+    src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(field))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = normalize_for_dedup_series(pdf[field]).fillna("")
+            all_toks: list[str] = []
+            counts = np.zeros(len(norm), dtype=np.int64)
+            for i, t in enumerate(norm):
+                toks = t.split()
+                all_toks.extend(toks)
+                counts[i] = len(toks)
+            flat = hash_str_array_u64(all_toks) if all_toks else np.empty(0, np.uint64)
+            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            sig = simhash64(flat, offsets)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sig})
+
+    return src.mapInPandas(compute, schema=f"{id_col} string, simhash long")
+
+
+def _band_exprs(max_hamming: int) -> list:
+    """k+1 contiguous bit bands covering the 64-bit signature."""
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands] * n_bands
+    widths[-1] += 64 - sum(widths)
+    exprs = []
+    start = 0
+    for i, w in enumerate(widths):
+        mask = (1 << w) - 1
+        exprs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+        )
+        start += w
+    return exprs
+
+
+def simhash_candidate_pairs(
+    sim_df: DataFrame,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    bucket_cap: int = 200,
+    with_metrics: bool = False,
+):
+    """Pigeonhole-banded candidate pairs for Hamming <= max_hamming."""
+    bands = sim_df.select(
+        id_col, "simhash", F.explode(F.array(*_band_exprs(max_hamming))).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    return candidate_pairs(
+        bands, ["band", "key"], id_col, bucket_cap=bucket_cap, with_metrics=with_metrics
+    )
+
+
+def verify_hamming(
+    pairs: DataFrame, sim_df: DataFrame, id_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) with bit_count(xor) <= k — all JVM-side."""
+    a = sim_df.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_s_a"))
+    b = sim_df.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_s_b"))
+    ham = F.bit_count(F.col("_s_a").bitwiseXOR(F.col("_s_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,160 @@
+"""The flagship near-duplicate detection + clustering pipeline.
+
+DAG (each stage a checkpointed Parquet/Iceberg table, resumable):
+
+  clips ─┬─> exact_hashes   (paragraph sha1-u64 groupBy — cc_net build side)
+         ├─> signatures     (MinHash sigs + shingles + SimHash, ONE narrow map)
+         │      ├─> minhash_pairs   (LSH bands -> capped bucket join -> Jaccard verify)
+         │      ├─> simhash_pairs   (bit bands -> capped bucket join -> Hamming verify)
+         │      └─────────────┐
+         ├─> exact_pairs     (full-transcript normalized hash groups)
+         ├─> substring_pairs (rolling L-gram buckets -> capped join)
+         └────────────> edges (union) -> components (alt-star CC) -> clusters
+
+Skew handling: every pair generator runs through the capped bucket join
+(``operators/pairs.py``) with drop metrics recorded in the stage manifest;
+AQE skew-join splitting covers the verification joins.
+
+Column pruning: the audio ``bytes`` column is touched by NO stage here —
+all stages select explicit text/metadata columns, so Parquet never reads
+the payload (verify via ``.explain``: ReadSchema excludes ``bytes``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc_net_spark.operators import exact_dedup as ed
+from cc_net_spark.operators import minhash as mh
+from cc_net_spark.operators import simhash as sh
+from cc_net_spark.operators import substring as ss
+from cc_net_spark.operators.connected_components import assign_clusters, connected_components
+from cc_net_spark.plans.dag import Stage, StageRunner
+
+
+@dataclass
+class NearDupConfig:
+    id_col: str = "clip_id"
+    text_col: str = "transcript"
+    shingle_size: int = 5
+    num_perm: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    jaccard_threshold: float = 0.5
+    max_hamming: int = 4
+    substring_length: int = 50
+    bucket_cap: int = 200
+    gram_cap: int = 100
+
+
+def build_stages(clips_path: str, cfg: NearDupConfig) -> list[Stage]:
+    idc, txt = cfg.id_col, cfg.text_col
+
+    def load_clips(spark: SparkSession) -> DataFrame:
+        # explicit projection => Parquet never reads the audio payload
+        return spark.read.parquet(clips_path).select(idc, txt)
+
+    def stage_exact_hashes(spark: SparkSession) -> DataFrame:
+        return ed.build_hashes(ed.paragraph_hashes(load_clips(spark), txt, idc))
+
+    def stage_signatures(spark: SparkSession) -> DataFrame:
+        clips = load_clips(spark)
+        sig = mh.shingle_signatures(
+            clips, txt, idc,
+            shingle_size=cfg.shingle_size, num_perm=cfg.num_perm, keep_shingles=True,
+        )
+        sim = sh.simhash_signatures(clips, txt, idc)
+        return sig.join(sim, idc)
+
+    def stage_exact_pairs(spark: SparkSession) -> DataFrame:
+        # full-transcript exact duplicates under normalize_for_dedup:
+        # bucket = hash of the whole normalized transcript
+        clips = load_clips(spark)
+        buckets = clips.select(
+            F.col(idc), ed.dedup_hash_udf(F.col(txt)).alias("tkey")
+        )
+        from cc_net_spark.operators.pairs import candidate_pairs
+
+        return candidate_pairs(buckets, ["tkey"], idc, bucket_cap=cfg.bucket_cap)
+
+    def stage_minhash_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+        cand = mh.minhash_candidate_pairs(
+            signatures, idc,
+            bands=cfg.bands, rows_per_band=cfg.rows_per_band, bucket_cap=cfg.bucket_cap,
+        )
+        return mh.verify_jaccard(cand, signatures, idc, threshold=cfg.jaccard_threshold)
+
+    def stage_simhash_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+        cand = sh.simhash_candidate_pairs(
+            signatures.select(idc, "simhash"), idc,
+            max_hamming=cfg.max_hamming, bucket_cap=cfg.bucket_cap,
+        )
+        return sh.verify_hamming(cand, signatures, idc, max_hamming=cfg.max_hamming)
+
+    def stage_substring_pairs(spark: SparkSession) -> DataFrame:
+        return ss.substring_candidate_pairs(
+            load_clips(spark), txt, idc,
+            length=cfg.substring_length, gram_cap=cfg.gram_cap,
+        )
+
+    def stage_edges(
+        spark: SparkSession,
+        exact_pairs: DataFrame,
+        minhash_pairs: DataFrame,
+        simhash_pairs: DataFrame,
+        substring_pairs: DataFrame,
+    ) -> DataFrame:
+        def tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.select("id_a", "id_b", F.lit(kind).alias("kind"))
+
+        return (
+            tag(exact_pairs, "exact")
+            .unionByName(tag(minhash_pairs, "minhash"))
+            .unionByName(tag(simhash_pairs, "simhash"))
+            .unionByName(tag(substring_pairs, "substring"))
+        )
+
+    def stage_clusters(spark: SparkSession, edges: DataFrame) -> DataFrame:
+        comp = connected_components(edges.select("id_a", "id_b").distinct())
+        ids = load_clips(spark).select(idc)
+        return assign_clusters(ids, comp, idc)
+
+    def dup_ratio(df: DataFrame) -> dict:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cluster_id") != F.col(idc)).cast("long")).alias("nondup_root"),
+        ).collect()[0]
+        n_clusters = df.select("cluster_id").distinct().count()
+        return {"n_rows": agg["n"], "n_clusters": n_clusters}
+
+    return [
+        Stage("exact_hashes", stage_exact_hashes),
+        Stage("signatures", stage_signatures),
+        Stage("exact_pairs", stage_exact_pairs),
+        Stage("minhash_pairs", stage_minhash_pairs, inputs=["signatures"]),
+        Stage("simhash_pairs", stage_simhash_pairs, inputs=["signatures"]),
+        Stage("substring_pairs", stage_substring_pairs),
+        Stage(
+            "edges",
+            stage_edges,
+            inputs=["exact_pairs", "minhash_pairs", "simhash_pairs", "substring_pairs"],
+        ),
+        Stage("clusters", stage_clusters, inputs=["edges"], metrics_fn=dup_ratio),
+    ]
+
+
+def run_near_dup_pipeline(
+    spark: SparkSession,
+    clips_path: str,
+    workdir: str,
+    cfg: NearDupConfig | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, dict]:
+    """Run (or resume) the full pipeline; returns (clusters_df, manifests)."""
+    cfg = cfg or NearDupConfig()
+    runner = StageRunner(spark, workdir)
+    manifests = runner.run(build_stages(clips_path, cfg), force=force)
+    return runner.load("clusters"), manifests

@@ -1,0 +1,705 @@
+"""Driver-contract queries: each entry pairs a Spark DataFrame query over
+the driver's parquet tables with an ANSI-SQL oracle DuckDB can run on the
+same tables (see ``__spark_entry__.py``).
+
+The ``documents`` table has single-line texts, so the cc_net "paragraph"
+unit is materialized by chunking each text into CHUNK-word lines (joined
+by ``\\n``) — this plants real cross-doc duplicate paragraphs (the small
+vocabulary repeats 8-grams) and exercises the full dedup machinery:
+explode -> normalize -> hash -> groupBy -> join -> window -> reassemble.
+
+Oracle parity notes:
+* the driver's texts are pure lowercase ASCII words (verified), so
+  ``normalize_for_dedup`` degenerates to ``lower(trim(x))`` — the SQL
+  oracles use that form while the Spark side runs the real normalizer+
+  sha1-u64 path, making the comparison a true differential test;
+* every float is rounded before comparison; ranks tie-break by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CHUNK = 8
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with text re-lined into CHUNK-word paragraphs."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * CHUNK + 1, CHUNK), " "),
+    )
+    return docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+
+
+_SQL_CHUNKS = f"""
+  WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+  chunks AS (
+    SELECT w.doc_id, CAST(t.i AS INTEGER) AS line_id,
+           array_to_string(list_slice(w.words, t.i*{CHUNK}+1, t.i*{CHUNK}+{CHUNK}), ' ') AS line
+    FROM w, unnest(range(CAST(ceil(len(w.words)/{CHUNK}.0) AS BIGINT))) AS t(i)),
+  norm AS (SELECT doc_id, line_id, line, lower(trim(line)) AS nline FROM chunks),
+  hashes AS (SELECT nline, count(*) >= 2 AS is_dup FROM norm GROUP BY nline)
+"""
+
+
+def _chunk_paras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_net_spark.operators import exact_dedup as ed
+
+    return ed.paragraph_hashes(chunked_documents(spark, sf_dir), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_chunks_dropall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass paragraph dedup (cc_net default semantics) at chunk level."""
+    from cc_net_spark.operators import exact_dedup as ed
+
+    out = ed.deduplicate_two_pass(chunked_documents(spark, sf_dir), "text", "doc_id")
+    return out.select("doc_id", "original_nlines", "nlines", "length")
+
+
+SQL_DEDUP_DROPALL = (
+    _SQL_CHUNKS
+    + """
+  , survivors AS (
+      SELECT n.doc_id, n.line_id, n.line,
+             row_number() OVER (PARTITION BY n.doc_id, n.nline ORDER BY n.line_id) AS rn
+      FROM norm n JOIN hashes h USING (nline) WHERE NOT h.is_dup)
+  , agg AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS nlines,
+             CAST(sum(length(line)) + count(*) - 1 AS INTEGER) AS length
+      FROM survivors WHERE rn = 1 GROUP BY doc_id)
+  , orig AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS original_nlines FROM norm GROUP BY doc_id)
+  SELECT a.doc_id, o.original_nlines, a.nlines, a.length
+  FROM agg a JOIN orig o USING (doc_id)
+"""
+)
+
+
+def q_dedup_chunks_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass keep-first semantics (``cc_net/dedup.py:451-456``)."""
+    from cc_net_spark.operators import exact_dedup as ed
+
+    out = ed.deduplicate_keep_first(chunked_documents(spark, sf_dir), "text", "doc_id")
+    return out.select("doc_id", "original_nlines", "nlines", "length")
+
+
+SQL_DEDUP_KEEPFIRST = (
+    _SQL_CHUNKS
+    + """
+  , ranked AS (
+      SELECT doc_id, line_id, line,
+             row_number() OVER (PARTITION BY nline ORDER BY doc_id, line_id) AS rn
+      FROM norm)
+  , agg AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS nlines,
+             CAST(sum(length(line)) + count(*) - 1 AS INTEGER) AS length
+      FROM ranked WHERE rn = 1 GROUP BY doc_id)
+  , orig AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS original_nlines FROM norm GROUP BY doc_id)
+  SELECT a.doc_id, o.original_nlines, a.nlines, a.length
+  FROM agg a JOIN orig o USING (doc_id)
+"""
+)
+
+
+def q_hash_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-side profile: how many paragraph hashes occur k times
+    (the FlatHashSet content, aggregated)."""
+    paras = _chunk_paras(spark, sf_dir)
+    return (
+        paras.groupBy("hash")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .groupBy("occurrences")
+        .agg(F.count(F.lit(1)).alias("n_hashes"))
+    )
+
+
+SQL_HASH_HISTOGRAM = (
+    _SQL_CHUNKS
+    + """
+  , occ AS (SELECT nline, count(*) AS occurrences FROM norm GROUP BY nline)
+  SELECT occurrences, count(*) AS n_hashes FROM occ GROUP BY occurrences
+"""
+)
+
+
+def q_dup_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical doc pairs sharing >=1 duplicated paragraph."""
+    from cc_net_spark.operators.pairs import candidate_pairs
+
+    paras = _chunk_paras(spark, sf_dir).select("doc_id", "hash")
+    return candidate_pairs(paras, ["hash"], "doc_id", bucket_cap=1_000_000).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+
+
+SQL_DUP_PAIRS = (
+    _SQL_CHUNKS
+    + """
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT DISTINCT doc_id, nline FROM norm) a
+  JOIN (SELECT DISTINCT doc_id, nline FROM norm) b
+    ON a.nline = b.nline AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the dup-chunk pair graph; singletons keep
+    their own id."""
+    from cc_net_spark.operators.connected_components import (
+        assign_clusters,
+        connected_components,
+    )
+
+    pairs = q_dup_chunk_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comp = connected_components(pairs)
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    return assign_clusters(ids, comp, "doc_id")
+
+
+SQL_CC_CLUSTERS = (
+    _SQL_CHUNKS
+    + """
+  , pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT DISTINCT doc_id, nline FROM norm) a
+      JOIN (SELECT DISTINCT doc_id, nline FROM norm) b
+        ON a.nline = b.nline AND a.doc_id < b.doc_id)
+  , edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs)
+  , reach AS (
+      WITH RECURSIVE r(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM r JOIN edges e ON r.d = e.s WHERE r.s <> e.d
+      ) SELECT * FROM r)
+  , roots AS (SELECT s AS doc_id, least(min(d), s) AS cluster_id FROM reach GROUP BY s)
+  SELECT d.doc_id, coalesce(r.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN roots r USING (doc_id)
+"""
+)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard >= 0.2 doc pairs (bucket join + native
+    array ops), with the similarity value."""
+    docs = load(spark, sf_dir, "documents")
+    n = 5
+    words = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    g = docs.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
+    exploded = g.select("doc_id", F.explode("grams").alias("gram"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("_ga"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = """
+  WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+  g AS (
+    SELECT doc_id,
+           array_to_string(list_slice(w.words, t.i+1, t.i+5), ' ') AS gram
+    FROM w, unnest(range(CAST(greatest(len(w.words)-5, 0)+1 AS BIGINT))) AS t(i)),
+  gd AS (SELECT DISTINCT doc_id, gram FROM g),
+  sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  SELECT doc_a, doc_b,
+         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2
+"""
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing a >=30-char character window (rolling-hash pass)."""
+    from cc_net_spark.operators import substring as ss
+
+    docs = load(spark, sf_dir, "documents")
+    return ss.substring_candidate_pairs(
+        docs, "text", "doc_id", length=30, gram_cap=1_000_000
+    ).select(
+        F.col("id_a").cast("long").alias("doc_a"), F.col("id_b").cast("long").alias("doc_b")
+    )
+
+
+SQL_SUBSTRING_PAIRS = """
+  WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+  wins AS (
+    SELECT DISTINCT doc_id, substr(txt, CAST(i.i+1 AS INTEGER), 30) AS win
+    FROM t, unnest(range(CAST(greatest(length(txt)-30+1, 0) AS BIGINT))) AS i(i)),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id)
+  SELECT doc_a, doc_b FROM pairs
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors."""
+    from cc_net_spark.operators import ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.brute_force_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+SQL_ANN_TOPK = """
+  WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+  c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+  s AS (
+    SELECT qid, nid,
+           round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+    FROM q, c WHERE qid <> nid),
+  r AS (SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        FROM s)
+  SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank
+  FROM r WHERE rn <= 5
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_net_spark.functions.text import language_id
+
+    docs = load(spark, sf_dir, "documents")
+    return language_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def _sql_langid() -> str:
+    from cc_net_spark.functions.text import STOPWORDS
+
+    score_rows = ",\n      ".join(
+        "('{lang}', ARRAY[{words}])".format(
+            lang=lang, words=", ".join(f"'{w}'" for w in sw)
+        )
+        for lang, sw in STOPWORDS.items()
+    )
+    return f"""
+  WITH sw(lang, words) AS (VALUES
+      {score_rows}),
+  toks AS (
+    SELECT doc_id, u.word
+    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+         unnest(ws) AS u(word)),
+  scores AS (
+    SELECT t.doc_id, s.lang, count(*) AS score
+    FROM toks t JOIN sw s ON list_contains(s.words, t.word)
+    GROUP BY 1, 2),
+  best AS (
+    SELECT doc_id, lang, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+    FROM scores)
+  SELECT d.doc_id,
+         coalesce(b.lang, 'und') AS lang_pred
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1 AND score > 0) b USING (doc_id)
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_net_spark.functions.text import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id", "n_words", "mean_word_len", "stopword_ratio", "punct_ratio"
+    )
+
+
+SQL_QUALITY = """
+  WITH w AS (
+    SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS words FROM documents),
+  base AS (
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_words,
+           round(CAST(length(array_to_string(words, '')) AS DOUBLE) / len(words), 6)
+             AS mean_word_len,
+           round(CAST(len(list_filter(words, w -> list_contains(
+             ['the','and','of','to','in','is','that','it','was','for'], w))) AS DOUBLE)
+             / len(words), 6) AS stopword_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS DOUBLE) / length(text), 6) AS punct_ratio
+    FROM w)
+  SELECT * FROM base
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_net_spark.functions.text import token_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return token_counts(docs, "text").select(
+        "doc_id", "ws_tokens", "regex_tokens", "distinct_tokens"
+    )
+
+
+SQL_TOKEN_COUNTS = """
+  WITH w AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS words FROM documents)
+  SELECT doc_id,
+         CAST(len(words) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER)
+           AS regex_tokens,
+         CAST(len(list_distinct(words)) AS INTEGER) AS distinct_tokens
+  FROM w
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_net_spark.functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs, "text").select("doc_id", "fp")
+
+
+SQL_FINGERPRINTS = """
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(trim(text)), ' '), ' ')) AS fp
+  FROM documents
+"""
+
+
+def q_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonql `where`+`select` parity (``cc_net/jsonql.py:585-649``)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+SQL_SELECT_WHERE = """
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE n_chars >= 200 AND lang = 'en'
+"""
+
+
+def q_describe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling à la jsonql `describe` (``cc_net/jsonql.py:840-884``)."""
+    docs = load(spark, sf_dir, "documents")
+    outs = []
+    for c in ["text", "lang", "source"]:
+        outs.append(
+            docs.agg(
+                F.lit(c).alias("column"),
+                F.count(F.col(c)).alias("n_present"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+                F.sum(F.length(F.col(c))).alias("total_chars"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+SQL_DESCRIBE = """
+  SELECT 'text' AS "column", count(text) AS n_present,
+         count(DISTINCT text) AS n_distinct, sum(length(text)) AS total_chars
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(lang), count(DISTINCT lang), sum(length(lang)) FROM documents
+  UNION ALL
+  SELECT 'source', count(source), count(DISTINCT source), sum(length(source)) FROM documents
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified cap per group (``uniform_sampling_wrt_perplexity`` shape,
+    ``cc_net/tools/expand_corpus.py:181-207``): first 3 docs per source."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+SQL_STRATIFIED = """
+  SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn <= 3
+"""
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head/middle/tail percentile bucketing (PerplexityBucket shape,
+    ``cc_net/perplexity.py:256-288``) over n_chars."""
+    from cc_net_spark.functions.text import percentile_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    return percentile_bucket(docs, "n_chars").select("doc_id", "bucket")
+
+
+SQL_LENGTH_BUCKETS = """
+  WITH cuts AS (
+    SELECT quantile_cont(n_chars, 0.30) AS c_head,
+           quantile_cont(n_chars, 0.60) AS c_tail
+    FROM documents)
+  SELECT doc_id,
+         CASE WHEN n_chars <= c_head THEN 'head'
+              WHEN n_chars <= c_tail THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM documents, cuts
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation over the events table."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation anchor for basic agg correctness."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_PRICING = """
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- rows-only checks (not SQL-expressible; driver records row counts) ----
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs over documents (Jaccard >= 0.2)."""
+    from cc_net_spark.operators import minhash as mh
+
+    docs = load(spark, sf_dir, "documents")
+    sig = mh.shingle_signatures(docs, "text", "doc_id", shingle_size=5, num_perm=128)
+    cand = mh.minhash_candidate_pairs(sig, "doc_id", bands=64, rows_per_band=2)
+    return mh.verify_jaccard(cand, sig, "doc_id", threshold=0.2).select(
+        F.col("id_a").cast("long").alias("doc_a"),
+        F.col("id_b").cast("long").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 8) over documents."""
+    from cc_net_spark.operators import simhash as sh
+
+    docs = load(spark, sf_dir, "documents")
+    sim = sh.simhash_signatures(docs, "text", "doc_id")
+    cand = sh.simhash_candidate_pairs(sim, "doc_id", max_hamming=8, bucket_cap=500)
+    return sh.verify_hamming(cand, sim, "doc_id", max_hamming=8).select(
+        F.col("id_a").cast("long").alias("doc_a"),
+        F.col("id_b").cast("long").alias("doc_b"),
+        "hamming",
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the sub-linear scale path)."""
+    from cc_net_spark.operators import ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann.lsh_topk(emb, dim=dim, k=5, n_bits=16, bands=8)
+
+
+def q_clips_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full near-dup clustering of a deterministic synthetic
+    clips corpus (n keyed to sf via the documents row count)."""
+    from cc_net_spark.operators import exact_dedup as ed
+    from cc_net_spark.operators import minhash as mh
+    from cc_net_spark.operators.connected_components import (
+        assign_clusters,
+        connected_components,
+    )
+    from cc_net_spark.operators.pairs import candidate_pairs
+    from cc_net_spark.sources import synth
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    n = max(160, min(2048, n_docs))
+    clips = synth.generate_clips(spark, n, seed=42, with_audio=False).select(
+        "clip_id", "transcript"
+    )
+    sig = mh.shingle_signatures(clips, "transcript", "clip_id", num_perm=128)
+    mh_pairs = mh.verify_jaccard(
+        mh.minhash_candidate_pairs(sig, "clip_id"), sig, "clip_id", threshold=0.5
+    ).select("id_a", "id_b")
+    exact = candidate_pairs(
+        clips.select("clip_id", ed.dedup_hash_udf(F.col("transcript")).alias("k")),
+        ["k"],
+        "clip_id",
+        bucket_cap=200,
+    )
+    from cc_net_spark.operators import substring as ss
+
+    sub = ss.substring_candidate_pairs(
+        clips, "transcript", "clip_id", length=50, gram_cap=100
+    )
+    edges = mh_pairs.unionByName(exact).unionByName(sub)
+    comp = connected_components(edges)
+    return assign_clusters(clips.select("clip_id"), comp, "clip_id")
+
+
+def q_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair audio invariants on the synthetic clips corpus: decoded-PCM
+    SNR >= 30 dB + normalized transcript equality for exact pairs."""
+    from cc_net_spark.multimodal.audio import pair_audio_invariants
+    from cc_net_spark.sources import synth
+
+    n = 160
+    clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
+    pairs = synth.expected_dup_pairs(spark, n).select(
+        F.col("clip_id_a").alias("id_a"), F.col("clip_id_b").alias("id_b")
+    )
+    return pair_audio_invariants(pairs, clips).select(
+        "id_a", "id_b", "transcript_equal", "pcm_ok"
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode + feature extraction over synthetic clips."""
+    from cc_net_spark.multimodal.audio import audio_features
+    from cc_net_spark.sources import synth
+
+    clips = synth.generate_clips(spark, 160, seed=42, with_audio=True)
+    out = audio_features(clips)
+    return out.select(
+        "clip_id",
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        F.round("spectral_centroid", 3).alias("spectral_centroid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def registry():
+    q = {
+        "dedup_chunks_dropall": q_dedup_chunks_dropall,
+        "dedup_chunks_keepfirst": q_dedup_chunks_keepfirst,
+        "hash_frequency_histogram": q_hash_frequency_histogram,
+        "dup_chunk_pairs": q_dup_chunk_pairs,
+        "cc_clusters": q_cc_clusters,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "substring_pairs": q_substring_pairs,
+        "ann_topk": q_ann_topk,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "select_where": q_select_where,
+        "describe_documents": q_describe_documents,
+        "stratified_sample": q_stratified_sample,
+        "length_buckets": q_length_buckets,
+        "events_hourly": q_events_hourly,
+        "lineitem_pricing": q_lineitem_pricing,
+        # rows-only (non-SQL-expressible: signature/UDF-based)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "clips_near_dup_clusters": q_clips_near_dup_clusters,
+        "audio_invariants": q_audio_invariants,
+        "audio_features": q_audio_features,
+    }
+    o = {
+        "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
+        "dedup_chunks_keepfirst": SQL_DEDUP_KEEPFIRST,
+        "hash_frequency_histogram": SQL_HASH_HISTOGRAM,
+        "dup_chunk_pairs": SQL_DUP_PAIRS,
+        "cc_clusters": SQL_CC_CLUSTERS,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "substring_pairs": SQL_SUBSTRING_PAIRS,
+        "ann_topk": SQL_ANN_TOPK,
+        "language_id": _sql_langid(),
+        "quality_scores": SQL_QUALITY,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "fingerprints": SQL_FINGERPRINTS,
+        "select_where": SQL_SELECT_WHERE,
+        "describe_documents": SQL_DESCRIBE,
+        "stratified_sample": SQL_STRATIFIED,
+        "length_buckets": SQL_LENGTH_BUCKETS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "lineitem_pricing": SQL_LINEITEM_PRICING,
+    }
+    return q, o

@@ -1,0 +1,108 @@
+"""End-to-end near-dup pipeline: recall >= 0.99 vs the planted oracle,
+cluster assignments, resume-from-checkpoint behavior (SURVEY.md §5 items a/d/e)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_net_spark.plans.dag import Stage, StageRunner
+from cc_net_spark.plans.pipeline import NearDupConfig, run_near_dup_pipeline
+from cc_net_spark.sources import synth
+
+N = 240  # 30 groups of 8
+
+
+@pytest.fixture(scope="module")
+def clips_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("clips") / "clips.parquet"
+    synth.generate_clips(spark, N, seed=42).write.mode("overwrite").parquet(str(p))
+    return str(p)
+
+
+CFG = NearDupConfig(bucket_cap=25, gram_cap=25, jaccard_threshold=0.5, max_hamming=6)
+
+
+def test_pipeline_recall_and_clusters(spark, clips_path, tmp_path):
+    clusters, manifests = run_near_dup_pipeline(
+        spark, clips_path, str(tmp_path / "work"), CFG
+    )
+    got = {r["clip_id"]: r["cluster_id"] for r in clusters.collect()}
+    expected = {
+        r["clip_id"]: r["cluster_id"] for r in synth.expected_clusters(spark, N).collect()
+    }
+    assert len(got) == N
+
+    # dup-pair recall >= 0.99: same-cluster pairs of the oracle must be
+    # same-cluster in our output
+    exp_pairs = synth.expected_dup_pairs(spark, N).collect()
+    found = sum(1 for r in exp_pairs if got[r["clip_id_a"]] == got[r["clip_id_b"]])
+    recall = found / len(exp_pairs)
+    assert recall >= 0.99, f"recall {recall}"
+
+    # precision: no cross-group merges, singletons stay singletons
+    assert got == expected
+
+
+def test_skew_probe_hot_bucket_is_cap_dropped(spark, tmp_path):
+    """With the hot paragraph planted in every role-7 row, the substring
+    pass must cap-drop the hot gram buckets and report them in metrics."""
+    from cc_net_spark.operators import substring as ss
+
+    df = synth.generate_clips(spark, N, seed=42, include_hot=True).select(
+        "clip_id", "transcript"
+    )
+    pairs, metrics = ss.substring_candidate_pairs(
+        df, "transcript", "clip_id", length=50, gram_cap=25, with_metrics=True
+    )
+    # the ~37 interior windows of the hot paragraph (bucket size 30 > 25)
+    assert metrics.n_buckets_dropped >= 30
+    assert metrics.n_rows_dropped >= 30 * 25
+    # pairs among hot rows only via pad/hot junction windows (1-char pad
+    # suffix collisions) — bounded far below the uncapped 435
+    hot = {synth._clip_id(8 * g + 7) for g in range(N // 8)}
+    n_hot_pairs = sum(
+        1 for r in pairs.collect() if r["id_a"] in hot and r["id_b"] in hot
+    )
+    assert n_hot_pairs < 40
+
+
+def test_pipeline_resume_skips_completed_stages(spark, clips_path, tmp_path):
+    work = str(tmp_path / "work2")
+    _, m1 = run_near_dup_pipeline(spark, clips_path, work, CFG)
+    assert not any(m.get("skipped") for m in m1.values())
+    clusters2, m2 = run_near_dup_pipeline(spark, clips_path, work, CFG)
+    assert all(m.get("skipped") for m in m2.values())
+    # resumed output identical
+    got = {r["clip_id"]: r["cluster_id"] for r in clusters2.collect()}
+    expected = {
+        r["clip_id"]: r["cluster_id"] for r in synth.expected_clusters(spark, N).collect()
+    }
+    assert got == expected
+
+
+def test_stage_invalidation_on_upstream_change(spark, tmp_path):
+    runner = StageRunner(spark, tmp_path / "dag")
+
+    def a1(s):
+        return s.range(5).select(F.col("id"))
+
+    def a2(s):
+        return s.range(9).select(F.col("id"))
+
+    def b(s, a):
+        return a.agg(F.count(F.lit(1)).alias("n"))
+
+    stages = [Stage("a", a1), Stage("b", b, inputs=["a"])]
+    runner.run(stages)
+    # re-run: both skipped
+    r2 = runner.run(stages)
+    assert r2["a"].get("skipped") and r2["b"].get("skipped")
+    # force-rerun a (new fingerprint) => b must re-run too
+    r3 = runner.run([Stage("a", a2)], force=True)
+    assert not r3["a"].get("skipped")
+    r4 = runner.run(stages)
+    assert r4["a"].get("skipped")  # a is complete (new version)
+    assert not r4["b"].get("skipped")  # b sees stale lineage and re-runs
+    assert runner.load("b").collect()[0]["n"] == 9
+    # lineage + metrics tables exist and cover the stages
+    assert {r["stage"] for r in runner.lineage().collect()} == {"a", "b"}
+    assert runner.metrics().count() == 2

@@ -1,0 +1,108 @@
+"""Text-analysis + ANN operator tests (training-data pipeline extras)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cc_net_spark.functions import text as tx
+from cc_net_spark.operators import ann
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog went to the house and it was good"),
+        (2, "der hund und die katze sind nicht auf das haus"),
+        (3, "le chat est dans la maison pour les amis et des autres"),
+        (4, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang_pred"] for r in tx.language_id(df, "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, it was THE best of 99 days!")], "id long, text string"
+    )
+    r = tx.quality_features(df, "text").collect()[0]
+    assert r["n_words"] == 11
+    assert 0.0 < r["punct_ratio"] < 0.2
+    assert r["digit_ratio"] > 0.0 and r["upper_ratio"] > 0.0
+    assert abs(r["stopword_ratio"] - 5 / 11) < 1e-6  # the, it, was, the, of
+    t = tx.token_counts(df, "text").collect()[0]
+    assert t["ws_tokens"] == 11
+    assert t["regex_tokens"] > t["ws_tokens"]  # punctuation split off
+    assert t["distinct_tokens"] <= t["ws_tokens"]
+
+
+def test_fingerprint_whitespace_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello worlds")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["fp"] for r in tx.fingerprint(df, "text").collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_percentile_bucket(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    got = tx.percentile_bucket(df, "v").groupBy("bucket").count().collect()
+    counts = {r["bucket"]: r["count"] for r in got}
+    assert counts["head"] == pytest.approx(30, abs=2)
+    assert counts["middle"] == pytest.approx(30, abs=2)
+    assert counts["tail"] == pytest.approx(40, abs=2)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    dim = len(embeddings.first()["embedding"])
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    got = ann.brute_force_topk(queries, embeddings, k=3).collect()
+    # numpy oracle
+    rows = embeddings.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mn = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
+    sims = mn @ mn.T
+    for qid in range(5):
+        qi = int(np.where(ids == qid)[0][0])
+        order = sorted(
+            [(round(sims[qi, j], 6), int(ids[j])) for j in range(len(ids)) if ids[j] != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        mine = sorted(
+            [(r["cosine"], r["neighbor_id"]) for r in got if r["query_id"] == qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [(s, i) for s, i in order] == mine, qid
+
+
+def test_matmul_topk_matches_bruteforce(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    a = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann.brute_force_topk(queries, embeddings, k=3).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann.brute_force_topk_matmul(queries, embeddings, k=3).collect()
+    }
+    assert a == b
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    dim = len(embeddings.first()["embedding"])
+    exact = ann.brute_force_topk(embeddings.limit(20), embeddings, k=3)
+    got = ann.lsh_topk(embeddings, dim=dim, k=3, n_bits=16, bands=8)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got_set = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    qids = {q for q, _ in exact_set}
+    hits = sum(1 for p in exact_set if p in got_set)
+    recall = hits / len(exact_set)
+    assert recall > 0.5, recall  # bucketed search trades recall for cost
