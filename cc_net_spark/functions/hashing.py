@@ -192,3 +192,19 @@ def window_hashes(text: str, L: int) -> np.ndarray:
     np.add.accumulate(c * invpows, out=s[1:])
     prefix = pows * s
     return prefix[L:] - prefix[:-L] * pows[L]
+
+
+def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): the minimum hash of every w-window of
+    consecutive window-hashes. Guarantee: two documents sharing a
+    substring of length >= L + w - 1 share at least one selected
+    fingerprint (selection depends only on hash values, which are
+    position-independent). Returns the distinct selected values —
+    ~2/(w+1) of the input, cutting the shuffled gram table ~10x."""
+    if len(hashes) == 0:
+        return hashes
+    if len(hashes) <= w:
+        return np.unique(hashes.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return np.unique(mins)

@@ -31,9 +31,23 @@ from cc_net_spark.operators.pairs import candidate_pairs
 
 
 def doc_window_grams(
-    df: DataFrame, field: str, id_col: str, *, length: int = 50, normalize: bool = True
+    df: DataFrame,
+    field: str,
+    id_col: str,
+    *,
+    length: int = 50,
+    normalize: bool = True,
+    winnow_window: int = 0,
 ) -> DataFrame:
-    """(id, gram) — distinct rolling-hash values of all L-char windows."""
+    """(id, gram) — distinct rolling-hash values of all L-char windows.
+
+    With ``winnow_window=w > 1``, only winnowed fingerprints are emitted
+    (~2/(w+1) of the grams): detection is then guaranteed for shared runs
+    of length >= length + w - 1 instead of >= length — the scale knob that
+    cuts the shuffled gram table ~10x (see ``functions.hashing.winnow``).
+    """
+    from cc_net_spark.functions.hashing import winnow as _winnow
+
     src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(field))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -46,7 +60,8 @@ def doc_window_grams(
             ids: list = []
             grams: list[np.ndarray] = []
             for i, t in zip(pdf[id_col], texts):
-                g = np.unique(window_hashes(t, length))
+                wh = window_hashes(t, length)
+                g = _winnow(wh, winnow_window) if winnow_window > 1 else np.unique(wh)
                 if len(g):
                     ids.append((i, len(g)))
                     grams.append(g)
@@ -68,10 +83,14 @@ def substring_candidate_pairs(
     length: int = 50,
     gram_cap: int = 100,
     normalize: bool = True,
+    winnow_window: int = 0,
     with_metrics: bool = False,
 ):
-    """Doc pairs sharing at least one length-L character window."""
-    grams = doc_window_grams(df, field, id_col, length=length, normalize=normalize)
+    """Doc pairs sharing at least one length-L character window (or, with
+    winnowing, a run of length >= length + winnow_window - 1)."""
+    grams = doc_window_grams(
+        df, field, id_col, length=length, normalize=normalize, winnow_window=winnow_window
+    )
     return candidate_pairs(
         grams, ["gram"], id_col, bucket_cap=gram_cap, with_metrics=with_metrics
     )

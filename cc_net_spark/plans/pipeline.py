@@ -45,7 +45,10 @@ class NearDupConfig:
     rows_per_band: int = 4
     jaccard_threshold: float = 0.5
     max_hamming: int = 4
-    substring_length: int = 50
+    # gram length 30 + winnow window 21 => substring detection guaranteed
+    # for shared runs >= 50 chars, with ~10x fewer shuffled gram rows
+    substring_length: int = 30
+    winnow_window: int = 21
     bucket_cap: int = 200
     gram_cap: int = 100
 
@@ -98,6 +101,7 @@ def build_stages(clips_path: str, cfg: NearDupConfig) -> list[Stage]:
         return ss.substring_candidate_pairs(
             load_clips(spark), txt, idc,
             length=cfg.substring_length, gram_cap=cfg.gram_cap,
+            winnow_window=cfg.winnow_window,
         )
 
     def stage_edges(

@@ -259,11 +259,14 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.operators import substring as ss
 
     docs = load(spark, sf_dir, "documents")
-    return ss.substring_candidate_pairs(
+    pairs = ss.substring_candidate_pairs(
         docs, "text", "doc_id", length=30, gram_cap=1_000_000
-    ).select(
-        F.col("id_a").cast("long").alias("doc_a"), F.col("id_b").cast("long").alias("doc_b")
     )
+    # the operator canonicalizes pair order on its (string) id type;
+    # re-canonicalize numerically for the SQL comparison
+    a = F.col("id_a").cast("long")
+    b = F.col("id_b").cast("long")
+    return pairs.select(F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b"))
 
 
 SQL_SUBSTRING_PAIRS = """

@@ -1,0 +1,159 @@
+"""Sources/sinks/minify/incremental-streaming coverage (SURVEY.md §2.1-2.3,
+§2.5 MetadataFetcher, §2.10)."""
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_net_spark.operators import exact_dedup as ed
+from cc_net_spark.operators.minify import minify, unminify
+from cc_net_spark.sources.jsonl import parse_wet, read_jsonl, read_typed_tsv
+from cc_net_spark.sources.sinks import regroup, write_jsonl, write_partitioned
+
+
+def test_read_jsonl_lenient(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello"}),
+        "THIS IS NOT JSON {",
+        json.dumps({"doc_id": 2, "text": "world"}),
+        json.dumps({"doc_id": 3}),  # missing field => null, not corrupt
+    ]
+    p.write_text("\n".join(lines))
+    df, metrics = read_jsonl(spark, str(p), "doc_id long, text string")
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert rows == {1: "hello", 2: "world", 3: None}
+    m = metrics.collect()[0]
+    assert m["n_corrupt"] == 1
+
+
+def test_read_typed_tsv(spark, tmp_path):
+    p = tmp_path / "in.tsv"
+    p.write_text(
+        "name\tscore%f\tcount%i\tok%b\t_\n"
+        'alpha\t1.5\t3\ttrue\t{"extra": "x"}\n'
+        'beta\t2.0\t4\tfalse\t{"extra": "y"}\n'
+    )
+    df = read_typed_tsv(spark, str(p))
+    rows = sorted(df.collect(), key=lambda r: r["name"])
+    assert rows[0]["name"] == "alpha" and rows[0]["score"] == 1.5
+    assert rows[0]["count"] == 3 and rows[0]["ok"] is True
+    assert rows[0]["extra"] == "x"
+    assert dict(df.dtypes)["score"] == "double" and dict(df.dtypes)["count"] == "bigint"
+
+
+def test_parse_wet(spark, tmp_path):
+    wet = (
+        "WARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: http://example.com/a\n"
+        "WARC-Date: 2019-01-01T00:00:00Z\n"
+        "WARC-Block-Digest: sha1:AAAA\n"
+        "Content-Length: 60\n"
+        "\n"
+        "Title A\n" + ("body line one of a\n" * 4) +
+        "\n\n"
+        "WARC/1.0\n"
+        "WARC-Type: request\n"
+        "\n"
+        "ignored\n"
+        "\n\n"
+        "WARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: http://example.com/b\n"
+        "WARC-Block-Digest: sha1:BBBB\n"
+        "Content-Length: 10\n"
+        "\n"
+        "Title B\nshort\n"
+    )
+    (tmp_path / "f.warc.wet").write_text(wet)
+    docs = parse_wet(spark, str(tmp_path / "*.wet"), min_len=20).collect()
+    # doc B is dropped by min_len; request record ignored
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["url"] == "http://example.com/a"
+    assert d["title"] == "Title A"
+    assert d["digest"] == "sha1:AAAA"
+    assert d["nlines"] == 4
+    assert d["raw_content"].startswith("body line one")
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"t{i}") for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    write_jsonl(df, str(tmp_path / "out_json"), max_records_per_file=5)
+    back = spark.read.json(str(tmp_path / "out_json"))
+    assert back.count() == 20
+    assert len(list((tmp_path / "out_json").glob("part-*"))) >= 4
+
+    write_partitioned(df, str(tmp_path / "out_part"), ["lang"])
+    assert (tmp_path / "out_part" / "lang=en").exists()
+    assert spark.read.parquet(str(tmp_path / "out_part")).count() == 20
+
+    regroup(spark.read.parquet(str(tmp_path / "out_part")), str(tmp_path / "out_regroup"), target_files=2)
+    files = list((tmp_path / "out_regroup").glob("part-*.parquet"))
+    assert len(files) <= 2
+    assert spark.read.parquet(str(tmp_path / "out_regroup")).count() == 20
+
+
+def test_minify_unminify_roundtrip(spark):
+    # dedup, minify, then reconstruct from originals: text must round-trip
+    # (reference ``tests/test_minify.py:122-153`` semantics)
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\ndup line\nunique one"),
+            (2, "dup line\nother text\ndup line"),
+        ],
+        "doc_id long, raw_content string",
+    )
+    deduped = ed.deduplicate_two_pass(docs, "raw_content", "doc_id")
+    meta = minify(deduped, "doc_id")
+    assert set(meta.columns) == {"doc_id", "line_ids"}
+    rebuilt = unminify(meta, docs, "raw_content", "doc_id")
+    a = {r["doc_id"]: r["raw_content"] for r in deduped.collect()}
+    b = {r["doc_id"]: r["raw_content"] for r in rebuilt.collect()}
+    assert a == b
+    assert {r["doc_id"]: r["nlines"] for r in rebuilt.collect()} == {1: 2, 2: 1}
+
+
+def test_incremental_streaming_dedup(spark, tmp_path):
+    from cc_net_spark.streaming.incremental import run_incremental_dedup
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "batch0.json").write_text(
+        json.dumps({"doc_id": 1, "text": "shared line\nalpha"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "beta\ngamma"})
+    )
+    run_incremental_dedup(
+        spark,
+        str(inp),
+        "doc_id long, text string",
+        str(tmp_path / "hashes"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    assert out1.count() == 2  # nothing duplicated yet
+
+    # second shard arrives: its copy of "shared line" is now a known dup
+    (inp / "batch1.json").write_text(
+        json.dumps({"doc_id": 3, "text": "shared line\ndelta"})
+    )
+    run_incremental_dedup(
+        spark,
+        str(inp),
+        "doc_id long, text string",
+        str(tmp_path / "hashes"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r["doc_id"]: r["text"] for r in out2.collect()}
+    assert rows[3] == "delta"  # "shared line" removed cross-batch
+    assert out2.count() == 3  # batch0 rows not reprocessed (checkpoint)

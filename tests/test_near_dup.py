@@ -131,6 +131,35 @@ def test_substring_pass(spark):
     assert len(v) == 1 and v[0]["overlap_len"] >= len(shared)
 
 
+def test_winnowed_substring_detects_guaranteed_runs(spark):
+    # winnowing guarantee: shared run >= L + w - 1 always detected
+    shared = "x" * 0 + "the guaranteed shared character run is this long ok!"  # 52 chars
+    assert len(shared) >= 30 + 21 - 1
+    rows = [
+        ("w1", "unrelated prefix alpha beta " + shared),
+        ("w2", shared + " totally different suffix gamma delta"),
+        ("w3", "nothing in common with the others at all here words"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string")
+    pairs = ss.substring_candidate_pairs(
+        df, "transcript", "clip_id", length=30, winnow_window=21
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("w1", "w2") in got
+    assert not any("w3" in p for p in got)
+
+
+def test_winnow_selection_properties():
+    from cc_net_spark.functions.hashing import window_hashes, winnow
+
+    h = window_hashes("a quick brown fox jumped over the lazy dog repeatedly", 10)
+    sel = winnow(h, 7)
+    assert 0 < len(sel) < len(h)
+    assert set(sel.tolist()) <= set(h.tolist())
+    # deterministic
+    assert (winnow(h, 7) == sel).all()
+
+
 def test_candidate_pairs_bucket_cap(spark):
     # one hot bucket (cap exceeded) must be dropped, with metrics
     rows = [("hot", f"id{i:02d}") for i in range(30)] + [("ok", "a"), ("ok", "b")]
