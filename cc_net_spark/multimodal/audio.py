@@ -188,6 +188,42 @@ def pair_audio_invariants(
 # ---------------------------------------------------------------------------
 
 
+def frame_sample(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    *,
+    frame: int = 512,
+    every: int = 4,
+) -> DataFrame:
+    """(id, frame_idx, frame_rms): decode, split PCM into fixed frames and
+    keep every k-th one — the frame-sampling primitive for multimodal
+    pipelines (one row per sampled frame; batch UDF, numpy only)."""
+    src = clips.select(id_col, "codec", "bytes")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, rms = [], [], []
+            for cid, codec, blob in zip(pdf[id_col], pdf["codec"], pdf["bytes"]):
+                try:
+                    _, pcm = decode_clip(codec, bytes(blob))
+                except NotImplementedError:
+                    continue
+                n_frames = len(pcm) // frame
+                if not n_frames:
+                    continue
+                frames = pcm[: n_frames * frame].reshape(n_frames, frame)
+                sel = np.arange(0, n_frames, every)
+                vals = np.sqrt((frames[sel] ** 2).mean(axis=1))
+                ids.extend([cid] * len(sel))
+                idxs.extend(sel.tolist())
+                rms.extend(vals.tolist())
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_rms": rms})
+
+    return src.mapInPandas(
+        compute, schema=f"{id_col} string, frame_idx long, frame_rms double"
+    )
+
+
 def audio_features(
     clips: DataFrame, id_col: str = "clip_id", *, frame: int = 512
 ) -> DataFrame:

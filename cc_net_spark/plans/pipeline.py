@@ -51,6 +51,13 @@ class NearDupConfig:
     winnow_window: int = 21
     bucket_cap: int = 200
     gram_cap: int = 100
+    # fused_pairs=True computes all pair families inside ONE 'edges' stage
+    # (one materialization instead of five): fewer actions and fewer
+    # checkpoints — the right shape when stage-level resume granularity
+    # matters less than latency. include_exact_hashes toggles the cc_net
+    # hash-table artifact stage (not consumed by clustering).
+    fused_pairs: bool = False
+    include_exact_hashes: bool = True
 
 
 def build_stages(clips_path: str, cfg: NearDupConfig) -> list[Stage]:
@@ -134,8 +141,27 @@ def build_stages(clips_path: str, cfg: NearDupConfig) -> list[Stage]:
         n_clusters = df.select("cluster_id").distinct().count()
         return {"n_rows": agg["n"], "n_clusters": n_clusters}
 
+    def stage_edges_fused(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+        def tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.select("id_a", "id_b", F.lit(kind).alias("kind"))
+
+        return (
+            tag(stage_minhash_pairs(spark, signatures), "minhash")
+            .unionByName(tag(stage_simhash_pairs(spark, signatures), "simhash"))
+            .unionByName(tag(stage_exact_pairs(spark), "exact"))
+            .unionByName(tag(stage_substring_pairs(spark), "substring"))
+        )
+
+    head = [Stage("exact_hashes", stage_exact_hashes)] if cfg.include_exact_hashes else []
+    if cfg.fused_pairs:
+        return [
+            *head,
+            Stage("signatures", stage_signatures),
+            Stage("edges", stage_edges_fused, inputs=["signatures"]),
+            Stage("clusters", stage_clusters, inputs=["edges"], metrics_fn=dup_ratio),
+        ]
     return [
-        Stage("exact_hashes", stage_exact_hashes),
+        *head,
         Stage("signatures", stage_signatures),
         Stage("exact_pairs", stage_exact_pairs),
         Stage("minhash_pairs", stage_minhash_pairs, inputs=["signatures"]),

@@ -493,6 +493,44 @@ SQL_LENGTH_BUCKETS = """
 """
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (jsonql `histogram`/`describe` parity,
+    ``cc_net/jsonql.py:748-884``): 10 equal buckets over n_chars."""
+    docs = load(spark, sf_dir, "documents")
+    lohi = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    ).collect()[0]
+    lo, hi = lohi["lo"], lohi["hi"]
+    width = max(1.0, (hi - lo) / 10.0)
+    bucket = F.least(
+        F.floor((F.col("n_chars") - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(9)
+    )
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+  WITH lohi AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+  w AS (SELECT lo, greatest(1.0, (hi - lo) / 10.0) AS width FROM lohi)
+  SELECT CAST(least(floor((n_chars - lo) / width), 9) AS INTEGER) AS bucket,
+         count(*) AS n
+  FROM documents, w GROUP BY 1
+"""
+
+
+def q_audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over decoded PCM (multimodal plumbing; rows-only)."""
+    from cc_net_spark.multimodal.audio import frame_sample
+    from cc_net_spark.sources import synth
+
+    clips = synth.generate_clips(spark, 96, seed=42, with_audio=True)
+    out = frame_sample(clips, every=8)
+    return out.select("clip_id", "frame_idx", F.round("frame_rms", 6).alias("frame_rms"))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window aggregation over the events table."""
     ev = load(spark, sf_dir, "events")
@@ -675,6 +713,7 @@ def registry():
         "describe_documents": q_describe_documents,
         "stratified_sample": q_stratified_sample,
         "length_buckets": q_length_buckets,
+        "length_histogram": q_length_histogram,
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         # rows-only (non-SQL-expressible: signature/UDF-based)
@@ -684,6 +723,7 @@ def registry():
         "clips_near_dup_clusters": q_clips_near_dup_clusters,
         "audio_invariants": q_audio_invariants,
         "audio_features": q_audio_features,
+        "audio_frame_sample": q_audio_frame_sample,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -702,6 +742,7 @@ def registry():
         "describe_documents": SQL_DESCRIBE,
         "stratified_sample": SQL_STRATIFIED,
         "length_buckets": SQL_LENGTH_BUCKETS,
+        "length_histogram": SQL_LENGTH_HISTOGRAM,
         "events_hourly": SQL_EVENTS_HOURLY,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
     }

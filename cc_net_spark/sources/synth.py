@@ -69,9 +69,9 @@ def _clip_id(i: int) -> str:
     return f"clip-{i:09d}"
 
 
-def _base_paragraphs(g: int, seed: int) -> list[str]:
+def _base_paragraphs(g: int, seed: int, size_scale: int = 1) -> list[str]:
     rng = np.random.default_rng([seed, g])
-    n_paras = int(rng.integers(4, 7))
+    n_paras = int(rng.integers(4, 7)) * size_scale
     paras = []
     for p in range(n_paras):
         n_tok = int(rng.integers(10, 18))
@@ -84,11 +84,11 @@ def _base_paragraphs(g: int, seed: int) -> list[str]:
     return paras
 
 
-def _unrelated_paragraphs(i: int, seed: int) -> list[str]:
+def _unrelated_paragraphs(i: int, seed: int, size_scale: int = 1) -> list[str]:
     rng = np.random.default_rng([seed, 7_777_777, i])
     return [
         " ".join(rng.choice(_VOCAB, size=int(rng.integers(10, 18))))
-        for _ in range(int(rng.integers(3, 6)))
+        for _ in range(int(rng.integers(3, 6)) * size_scale)
     ]
 
 
@@ -115,15 +115,15 @@ def _near_dup(paras: list[str], g: int, seed: int) -> list[str]:
     return out
 
 
-def _substring_overlap(paras: list[str], i: int, seed: int) -> list[str]:
+def _substring_overlap(paras: list[str], i: int, seed: int, size_scale: int = 1) -> list[str]:
     donor = max(paras, key=len)  # >= 60 normalized chars
-    other = _unrelated_paragraphs(i, seed)
+    other = _unrelated_paragraphs(i, seed, size_scale)
     return [other[0], donor, *other[1:]]
 
 
-def _transcript(i: int, seed: int, include_hot: bool) -> str:
+def _transcript(i: int, seed: int, include_hot: bool, size_scale: int = 1) -> str:
     g, r = divmod(i, ROLES_PER_GROUP)
-    base = _base_paragraphs(g, seed)
+    base = _base_paragraphs(g, seed, size_scale)
     if r == 0:
         paras = base
     elif r == 1:
@@ -133,9 +133,9 @@ def _transcript(i: int, seed: int, include_hot: bool) -> str:
     elif r == 3:
         paras = _near_dup(base, g, seed)
     elif r == 4:
-        paras = _substring_overlap(base, i, seed)
+        paras = _substring_overlap(base, i, seed, size_scale)
     else:
-        paras = _unrelated_paragraphs(i, seed)
+        paras = _unrelated_paragraphs(i, seed, size_scale)
         if r == 7 and include_hot:
             # skew probe (opt-in): the hot paragraph is shared by every
             # role-7 row — a pathological bucket for the paragraph-hash,
@@ -188,9 +188,13 @@ def generate_clips(
     seed: int = 42,
     with_audio: bool = True,
     include_hot: bool = False,
+    size_scale: int = 1,
     partitions: int | None = None,
 ) -> DataFrame:
-    """The clips table, generated distributed and deterministically."""
+    """The clips table, generated distributed and deterministically.
+
+    ``size_scale`` multiplies paragraph counts (bench realism knob —
+    real transcripts are KBs, not hundreds of bytes)."""
     partitions = partitions or max(8, n_rows // 4096)
     base = spark.range(0, n_rows, 1, partitions)
 
@@ -199,7 +203,7 @@ def generate_clips(
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                transcript = _transcript(i, seed, include_hot)
+                transcript = _transcript(i, seed, include_hot, size_scale)
                 if with_audio:
                     sr, dur_ms, pcm = _pcm(i, seed)
                     blob = wav_encode_pcm16(pcm, sr)

@@ -199,7 +199,14 @@ def test_connected_components_vs_union_find(spark):
         if a != b
     ]
     df = spark.createDataFrame(edges, "id_a string, id_b string")
-    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    # distributed alternating-star path (driver fallback disabled) must
+    # agree with the driver union-find path AND the python oracle
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    got_driver = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == got_driver
     uf = UnionFind()
     for a, b in edges:
         uf.union(a, b)
@@ -216,7 +223,7 @@ def test_connected_components_chain_and_singletons(spark):
     # a long chain exercises multi-round convergence
     chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]
     df = spark.createDataFrame(chain, "id_a string, id_b string")
-    comp = connected_components(df)
+    comp = connected_components(df, driver_threshold=0)
     got = {r["id"]: r["cluster_id"] for r in comp.collect()}
     assert set(got.values()) == {"c00"}
     assert len(got) == 31
