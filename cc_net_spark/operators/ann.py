@@ -151,6 +151,55 @@ def hyperplane_signatures(
     return src.mapInPandas(compute, schema=f"{id_col} long, sig long")
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    bands: int = 4,
+    bucket_cap: int = 500,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup family):
+    hyperplane-LSH banded candidates -> exact cosine verify >= threshold.
+    Same skew-capped bucket join as the text passes; (id_a, id_b, cosine).
+    """
+    from cc_net_spark.operators.pairs import candidate_pairs
+
+    sigs = hyperplane_signatures(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, n_bits=n_bits, seed=seed
+    )
+    width = n_bits // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    bucketed = sigs.select(id_col, F.explode(band_structs).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
+    )
+    cand = candidate_pairs(bucketed, ["band", "key"], id_col, bucket_cap=bucket_cap)
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    scored = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_qv")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_cv")), "id_b")
+        .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
 def lsh_topk(
     df: DataFrame,
     *,

@@ -622,6 +622,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(emb, dim=dim, k=5, n_bits=16, bands=8)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify."""
+    from cc_net_spark.operators.ann import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.6, bands=8)
+
+
 def q_clips_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full near-dup clustering of a deterministic synthetic
     clips corpus (n keyed to sf via the documents row count)."""
@@ -720,6 +729,7 @@ def registry():
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "clips_near_dup_clusters": q_clips_near_dup_clusters,
         "audio_invariants": q_audio_invariants,
         "audio_features": q_audio_features,

@@ -79,6 +79,20 @@ def test_pipeline_resume_skips_completed_stages(spark, clips_path, tmp_path):
     assert got == expected
 
 
+def test_fused_pipeline_matches_staged(spark, clips_path, tmp_path):
+    """fused_pairs=True (one edges materialization) must produce the exact
+    same clusters as the fully staged pipeline."""
+    from dataclasses import replace
+
+    staged, _ = run_near_dup_pipeline(spark, clips_path, str(tmp_path / "ws"), CFG)
+    fused_cfg = replace(CFG, fused_pairs=True, include_exact_hashes=False)
+    fused, m = run_near_dup_pipeline(spark, clips_path, str(tmp_path / "wf"), fused_cfg)
+    a = {r["clip_id"]: r["cluster_id"] for r in staged.collect()}
+    b = {r["clip_id"]: r["cluster_id"] for r in fused.collect()}
+    assert a == b
+    assert set(m) == {"signatures", "edges", "clusters"}
+
+
 def test_stage_invalidation_on_upstream_change(spark, tmp_path):
     runner = StageRunner(spark, tmp_path / "dag")
 

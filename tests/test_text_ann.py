@@ -96,6 +96,35 @@ def test_matmul_topk_matches_bruteforce(spark, embeddings):
     assert a == b
 
 
+def test_embedding_near_dup_pairs(spark, embeddings):
+    import numpy as np
+
+    dim = len(embeddings.first()["embedding"])
+    got = ann.embedding_near_dup_pairs(embeddings, dim=dim, threshold=0.6, bands=8)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    # brute-force oracle: every reported pair must truly be >= threshold
+    rows = embeddings.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mn = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
+    sims = mn @ mn.T
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for a, b in got_pairs:
+        assert round(sims[idx[a], idx[b]], 6) >= 0.6
+    # recall over the true pairs (LSH trades recall for cost; bands=8 of
+    # 2 bits each is permissive, so recall should be high here)
+    true_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(sims[i, j], 6) >= 0.6
+    }
+    true_pairs = {(min(a, b), max(a, b)) for a, b in true_pairs}
+    if true_pairs:
+        recall = len(got_pairs & true_pairs) / len(true_pairs)
+        assert recall >= 0.6, (recall, len(true_pairs))
+
+
 def test_lsh_topk_recall(spark, embeddings):
     dim = len(embeddings.first()["embedding"])
     exact = ann.brute_force_topk(embeddings.limit(20), embeddings, k=3)
