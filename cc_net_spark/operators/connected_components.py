@@ -66,6 +66,18 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
+def _assign_schema(e: DataFrame):
+    """(id, cluster_id) schema matching the edge id type — explicit so an
+    empty edge list (zero duplicate pairs) doesn't hit
+    CANNOT_INFER_EMPTY_SCHEMA and instead yields an empty assignment."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = e.schema["src"].dataType
+    return StructType(
+        [StructField("id", id_type), StructField("cluster_id", id_type)]
+    )
+
+
 def _driver_union_find(e: DataFrame) -> DataFrame:
     """Small-graph fast path: collect the (deduped) edge list and run
     union-find on the driver. The alternating-star rounds cost several
@@ -86,7 +98,7 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     assign = [(n, find(n)) for n in list(parent)]
-    return e.sparkSession.createDataFrame(assign, ["id", "cluster_id"])
+    return e.sparkSession.createDataFrame(assign, _assign_schema(e))
 
 
 def connected_components(
@@ -96,6 +108,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     driver_threshold: int = 2_000_000,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``edges``.
 
@@ -106,14 +119,23 @@ def connected_components(
     the driver — O(E α(E)) in seconds, zero shuffles. Larger graphs use
     the distributed alternating large-star/small-star rounds. Pass
     ``driver_threshold=0`` to force the distributed path.
+
+    ``edge_count``: a caller-known upper bound on the (pre-dedup) edge
+    count; when provided and <= driver_threshold, the sizing count() job
+    is skipped entirely (the edges stage manifest already knows its rows).
     """
     e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    e = e.localCheckpoint()
+    if driver_threshold and edge_count is not None and edge_count <= driver_threshold:
+        return _driver_union_find(e)
+    # lazy checkpoint: materialized by whichever action touches it next
+    # (the sizing count or the first round's fingerprint) — one scheduling
+    # round trip instead of two per step.
+    e = e.localCheckpoint(eager=False)
     if driver_threshold and e.count() <= driver_threshold:
         return _driver_union_find(e)
     prev = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp = _fingerprint(e)
         if fp == prev:
             break

@@ -213,12 +213,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = docs.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
     exploded = g.select("doc_id", F.explode("grams").alias("gram"))
-    pairs = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "gram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # skew-capped bucket join (a hot gram at 100x scale is a quadratic
+    # blow-up); the cap is provably inactive at driver sf (max gram bucket
+    # << cap), keeping the exact-SQL oracle valid.
+    from cc_net_spark.operators.pairs import candidate_pairs
+
+    pairs = candidate_pairs(exploded, ["gram"], "doc_id", bucket_cap=100_000).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("_ga"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("_gb"))
@@ -440,14 +441,20 @@ def q_describe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# all aggregates CAST to BIGINT: DuckDB's sum() over integers yields
+# HUGEINT/int128, which value-hashes differently from Spark's long even
+# when the numbers agree (round-1 driver red row).
 SQL_DESCRIBE = """
-  SELECT 'text' AS "column", count(text) AS n_present,
-         count(DISTINCT text) AS n_distinct, sum(length(text)) AS total_chars
+  SELECT 'text' AS "column", CAST(count(text) AS BIGINT) AS n_present,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
   FROM documents
   UNION ALL
-  SELECT 'lang', count(lang), count(DISTINCT lang), sum(length(lang)) FROM documents
+  SELECT 'lang', CAST(count(lang) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+         CAST(sum(length(lang)) AS BIGINT) FROM documents
   UNION ALL
-  SELECT 'source', count(source), count(DISTINCT source), sum(length(source)) FROM documents
+  SELECT 'source', CAST(count(source) AS BIGINT), CAST(count(DISTINCT source) AS BIGINT),
+         CAST(sum(length(source)) AS BIGINT) FROM documents
 """
 
 

@@ -219,6 +219,38 @@ def test_connected_components_vs_union_find(spark):
     assert got == expected_min
 
 
+def test_connected_components_empty_edges(spark):
+    # a corpus with zero duplicate pairs must yield all-singleton clusters,
+    # not CANNOT_INFER_EMPTY_SCHEMA (both id types, both paths)
+    for ddl in ("id_a string, id_b string", "id_a long, id_b long"):
+        empty = spark.createDataFrame([], ddl)
+        for thresh in (2_000_000, 0):
+            comp = connected_components(empty, driver_threshold=thresh)
+            assert comp.count() == 0
+            assert comp.columns == ["id", "cluster_id"]
+    ids = spark.createDataFrame([("a",), ("b",)], "clip_id string")
+    comp = connected_components(
+        spark.createDataFrame([], "id_a string, id_b string")
+    )
+    assigned = {
+        r["clip_id"]: r["cluster_id"]
+        for r in assign_clusters(ids, comp, "clip_id").collect()
+    }
+    assert assigned == {"a": "a", "b": "b"}
+
+
+def test_connected_components_known_edge_count_skips_sizing(spark):
+    # edge_count passed from a stage manifest takes the driver path with
+    # no sizing count() job; result identical to the default path
+    edges = [("x1", "x2"), ("x2", "x3"), ("y1", "y2")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, edge_count=len(edges)).collect()
+    }
+    assert got == {"x1": "x1", "x2": "x1", "x3": "x1", "y1": "y1", "y2": "y1"}
+
+
 def test_connected_components_chain_and_singletons(spark):
     # a long chain exercises multi-round convergence
     chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]
