@@ -589,58 +589,167 @@ SQL_LINEITEM_PRICING = """
 """
 
 
-# --- rows-only checks (not SQL-expressible; driver records row counts) ----
+# --- signature-based queries: Spark runs the real LSH machinery; the
+# oracle either re-derives the SQL-expressible predicate directly, or
+# reads the signature table the query exports (VERDICT r1 item 3) --------
+
+# Signature tables exported for oracle verification. The oracle SQL is a
+# static string, so the path is fixed; each query (over)writes its export
+# right before the driver evaluates the oracle on the same data.
+ORACLE_EXPORT = "/tmp/cc_net_spark_oracle_export"
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH verified near-dup pairs over documents (Jaccard >= 0.2)."""
+    """MinHash-LSH verified near-dup pairs over documents (Jaccard >= 0.2).
+
+    Oracle-exact: verification computes the EXACT shingle-set Jaccard, and
+    at this corpus every qualifying pair has J >= 0.85 (measured), so the
+    128-perm/64-band LSH miss probability is < 1e-30 — the output equals
+    the full exact-Jaccard pair set, which is what the SQL oracle computes.
+    (Texts are single-spaced lowercase ASCII without digits, so
+    normalize_for_dedup is the identity and hashed shingle sets are
+    isomorphic to the oracle's 5-gram string sets.)
+    """
     from cc_net_spark.operators import minhash as mh
 
     docs = load(spark, sf_dir, "documents")
     sig = mh.shingle_signatures(docs, "text", "doc_id", shingle_size=5, num_perm=128)
     cand = mh.minhash_candidate_pairs(sig, "doc_id", bands=64, rows_per_band=2)
+    # the operator canonicalizes pair order on its (string) id type;
+    # re-canonicalize numerically to match the SQL oracle's a < b
+    a = F.col("id_a").cast("long")
+    b = F.col("id_b").cast("long")
     return mh.verify_jaccard(cand, sig, "doc_id", threshold=0.2).select(
-        F.col("id_a").cast("long").alias("doc_a"),
-        F.col("id_b").cast("long").alias("doc_b"),
-        "jaccard",
+        F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b"), "jaccard"
     )
 
 
+# identical predicate to SQL_NGRAM_JACCARD (see q_minhash_lsh_pairs doc);
+# only the qualifying threshold stays 0.2
+SQL_MINHASH_LSH = SQL_NGRAM_JACCARD
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 8) over documents."""
+    """SimHash near-dup pairs (Hamming <= 8) over documents.
+
+    Pigeonhole banding (k+1 bands) is EXACT for Hamming <= k, so with the
+    bucket cap inactive (verified: max band-bucket size << cap at test SF)
+    the output equals the exhaustive Hamming predicate over the signature
+    table, which the query exports for the oracle to re-derive via
+    DuckDB ``bit_count(xor(...))``.
+    """
     from cc_net_spark.operators import simhash as sh
 
     docs = load(spark, sf_dir, "documents")
     sim = sh.simhash_signatures(docs, "text", "doc_id")
+    sim.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash").write.mode(
+        "overwrite"
+    ).parquet(f"{ORACLE_EXPORT}/simhash_sigs")
     cand = sh.simhash_candidate_pairs(sim, "doc_id", max_hamming=8, bucket_cap=500)
+    a = F.col("id_a").cast("long")
+    b = F.col("id_b").cast("long")
     return sh.verify_hamming(cand, sim, "doc_id", max_hamming=8).select(
-        F.col("id_a").cast("long").alias("doc_a"),
-        F.col("id_b").cast("long").alias("doc_b"),
-        "hamming",
+        F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b"), "hamming"
     )
 
 
+SQL_SIMHASH = f"""
+  WITH s AS (SELECT doc_id, simhash
+             FROM read_parquet('{ORACLE_EXPORT}/simhash_sigs/*.parquet'))
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (the sub-linear scale path)."""
+    """Hyperplane-LSH bucketed ANN (the sub-linear scale path).
+
+    32-bit signatures in 4 bands of 8 bits (2^8 buckets per band — wide
+    enough that buckets stay small at scale; the round-1 2-bit keys
+    degenerated to near-all-pairs). The query exports the signature table;
+    the oracle re-derives band keys, the bucket candidate join and the
+    exact-cosine rerank in SQL.
+    """
     from cc_net_spark.operators import ann
 
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    return ann.lsh_topk(emb, dim=dim, k=5, n_bits=16, bands=8)
+    sigs = ann.hyperplane_signatures(emb, dim=dim, n_bits=32)
+    sigs.write.mode("overwrite").parquet(f"{ORACLE_EXPORT}/ann_sigs")
+    return ann.lsh_topk(emb, dim=dim, k=5, n_bits=32, bands=4)
+
+
+SQL_ANN_LSH = f"""
+  WITH s AS (SELECT vec_id, sig
+             FROM read_parquet('{ORACLE_EXPORT}/ann_sigs/*.parquet')),
+  b AS (SELECT vec_id, t.i AS band, (sig >> CAST(t.i * 8 AS INTEGER)) & 255 AS key
+        FROM s, unnest(range(4)) AS t(i)),
+  cand AS (
+    SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+    FROM b l JOIN b r ON l.band = r.band AND l.key = r.key
+                     AND l.vec_id <> r.vec_id),
+  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(qa.v, qb.v), 6) AS cosine
+    FROM cand
+    JOIN e qa ON qa.vec_id = query_id
+    JOIN e qb ON qb.vec_id = neighbor_id),
+  r AS (SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored)
+  SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cosine
+  FROM r WHERE rn <= 5
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify.
+
+    The driver embeddings have max pairwise cosine 0.513, so near-dups are
+    PLANTED: vectors 0..49 get a 0.5-scaled copy at vec_id + 10_000_000
+    (cosine exactly 1.0 — scaling is sign-preserving, so the copies share
+    all LSH bands with their originals and recall is structural, not
+    probabilistic). Expected output: exactly the 50 planted pairs.
+    """
     from cc_net_spark.operators.ann import embedding_near_dup_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.select("embedding").first()["embedding"])
-    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.6, bands=8)
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_near_dup_pairs(
+        corpus, dim=dim, threshold=0.95, n_bits=32, bands=4
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+  WITH u AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000000, list_transform(embedding::DOUBLE[], x -> x * 0.5)
+    FROM embeddings WHERE vec_id < 50),
+  s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM u a JOIN u b ON a.vec_id < b.vec_id)
+  SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.95
+"""
 
 
 def q_clips_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full near-dup clustering of a deterministic synthetic
-    clips corpus (n keyed to sf via the documents row count)."""
+    clips corpus (n keyed to sf via the documents row count; rounded down
+    to whole 8-row groups so the planted-cluster oracle is pure index
+    math — a trailing partial group WOULD cluster its roles 0..3 while
+    the index oracle calls them singletons)."""
     from cc_net_spark.operators import exact_dedup as ed
     from cc_net_spark.operators import minhash as mh
     from cc_net_spark.operators.connected_components import (
@@ -651,7 +760,11 @@ def q_clips_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.sources import synth
 
     n_docs = load(spark, sf_dir, "documents").count()
-    n = max(160, min(2048, n_docs))
+    n = (
+        max(160, min(2048, n_docs))
+        // synth.ROLES_PER_GROUP
+        * synth.ROLES_PER_GROUP
+    )
     clips = synth.generate_clips(spark, n, seed=42, with_audio=False).select(
         "clip_id", "transcript"
     )
@@ -675,6 +788,22 @@ def q_clips_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(clips.select("clip_id"), comp, "clip_id")
 
 
+# Index-math oracle (sources/synth.py expected_clusters): roles 0..4 of
+# each 8-row group form one cluster rooted at the role-0 id; roles 5..7
+# are singletons. n is derived from the documents row count exactly as the
+# query derives it.
+SQL_CLIPS_CLUSTERS = """
+  WITH p AS (SELECT CAST(greatest(160, least(2048,
+               (SELECT count(*) FROM documents))) // 8 * 8 AS BIGINT) AS n),
+  r AS (SELECT range AS id FROM range(2048) WHERE range < (SELECT n FROM p))
+  SELECT printf('clip-%09d', id) AS clip_id,
+         printf('clip-%09d',
+                CASE WHEN id % 8 < 5 THEN (id // 8) * 8 ELSE id END)
+           AS cluster_id
+  FROM r
+"""
+
+
 def q_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pair audio invariants on the synthetic clips corpus: decoded-PCM
     SNR >= 30 dB + normalized transcript equality for exact pairs."""
@@ -689,6 +818,26 @@ def q_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_audio_invariants(pairs, clips).select(
         "id_a", "id_b", "transcript_equal", "pcm_ok"
     )
+
+
+# Index-math oracle over the planted 160-clip corpus (20 groups x 10
+# intra-cluster pairs): pairs among roles {0,1,2} are equal under
+# normalize_for_dedup (role 2 is the normalization variant); pairs
+# involving role 3 (5% token edits) or role 4 (substring overlap doc)
+# are not. Every cluster pair shares the group PCM with noise injected
+# at ~45 dB SNR, so pcm_ok (>= 30 dB) is true for all.
+SQL_AUDIO_INVARIANTS = """
+  WITH spec(ra, rb, teq) AS (VALUES
+    (0,1,true),(0,2,true),(0,3,false),(0,4,false),
+    (1,2,true),(1,3,false),(1,4,false),
+    (2,3,false),(2,4,false),(3,4,false)),
+  g AS (SELECT range AS g FROM range(20))
+  SELECT printf('clip-%09d', g.g * 8 + spec.ra) AS id_a,
+         printf('clip-%09d', g.g * 8 + spec.rb) AS id_b,
+         spec.teq AS transcript_equal,
+         true AS pcm_ok
+  FROM g, spec
+"""
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,5 +911,14 @@ def registry():
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "events_hourly": SQL_EVENTS_HOURLY,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
+        # round-2: signature/synthetic queries gained real oracles
+        # (exact-predicate equivalence, exported signature tables, or
+        # index-math expected results — see each query's docstring)
+        "minhash_lsh_pairs": SQL_MINHASH_LSH,
+        "simhash_pairs": SQL_SIMHASH,
+        "ann_lsh_topk": SQL_ANN_LSH,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "clips_near_dup_clusters": SQL_CLIPS_CLUSTERS,
+        "audio_invariants": SQL_AUDIO_INVARIANTS,
     }
     return q, o
