@@ -1,4 +1,4 @@
-"""Resumable stage DAG with per-stage lineage + metrics.
+"""Resumable stage DAG with per-partition lineage + metrics.
 
 Spark-native replacement for the reference's file-level idempotence
 (skip-if-output-exists at ``cc_net/mine.py:254-257,312-321`` and atomic
@@ -8,12 +8,22 @@ tmp->rename at ``cc_net/mine.py:221-234``):
   (written to a tmp dir then atomically renamed — a crash mid-write can
   never be mistaken for a completed stage),
 * a manifest JSON under ``workdir/_manifest/<stage>.json`` commits the
-  stage: rows written, input stage fingerprints, free-form metrics,
+  stage: per-partition (per output file) row counts read from the
+  Parquet FOOTERS (no Spark job — round 1 paid a full count() job per
+  stage, which dominated the fixed cost that capped scaling efficiency),
+* the stage fingerprint is CONTENT-BASED (hash of the output file
+  listing: names, sizes, per-file row counts) — identical output =>
+  identical fingerprint, so downstream skips survive benign re-runs and
+  a changed output invalidates downstream even if the manifest clock
+  says "complete",
+* external (non-stage) inputs are fingerprinted the same way from their
+  file listing + sizes, so a changed source table re-runs the stages
+  that read it (round-1 gap: ``inputs=[]`` stages silently reused stale
+  outputs),
 * re-running the DAG skips every stage whose manifest + data exist AND
-  whose recorded input fingerprints still match (lineage-aware resume,
-  per the north rule "resumable from checkpoint with per-partition
-  lineage + metrics"),
-* ``lineage()``/``metrics()`` expose the records as DataFrames.
+  whose recorded input + external fingerprints still match,
+* ``lineage()``/``metrics()``/``partition_metrics()`` expose the records
+  as DataFrames (north rule: per-partition lineage + metrics).
 
 With an Iceberg catalog configured the same layer maps onto table
 snapshots + commit metadata; Parquet-directory mode is the dependency-free
@@ -22,6 +32,7 @@ default used in this environment (no Iceberg runtime jar available).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -34,11 +45,57 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _scan_parquet_dir(path: Path) -> tuple[int, list[dict]]:
+    """(total_rows, per-file partition records) from Parquet footers only —
+    metadata reads, no Spark job, no data IO."""
+    import pyarrow.parquet as pq
+
+    parts: list[dict] = []
+    total = 0
+    for f in sorted(path.glob("*.parquet")):
+        nr = pq.ParquetFile(f).metadata.num_rows
+        parts.append({"file": f.name, "rows": nr, "bytes": f.stat().st_size})
+        total += nr
+    return total, parts
+
+
+def fingerprint_listing(parts: list[dict]) -> str:
+    """Content-addressed fingerprint of a file listing.
+
+    Spark part-file NAMES embed a per-run UUID, so only shape-stable
+    attributes participate: the multiset of per-file (rows, bytes).
+    Identical output data laid out identically => identical fingerprint.
+    """
+    shape = sorted((p["rows"], p["bytes"]) for p in parts)
+    blob = json.dumps(shape).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def fingerprint_external(path: str | Path) -> str:
+    """Fingerprint an external input (file or directory) from its file
+    listing + sizes + mtimes — cheap stat() walk, no data reads."""
+    p = Path(path)
+    if not p.exists():
+        return "missing"
+    files = [p] if p.is_file() else sorted(f for f in p.rglob("*") if f.is_file())
+    parts = [
+        {"file": str(f.relative_to(p.parent)), "bytes": f.stat().st_size,
+         "mtime_ns": f.stat().st_mtime_ns}
+        for f in files
+    ]
+    blob = json.dumps(parts, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 @dataclass
 class Stage:
     name: str
     build: Callable[..., DataFrame]  # (spark, **input_dfs) -> DataFrame
     inputs: list[str] = field(default_factory=list)
+    # external (non-stage) inputs this stage reads directly, e.g. the
+    # source clips table — fingerprinted into the manifest so changed
+    # input data invalidates the stage
+    external_inputs: list[str] = field(default_factory=list)
     # optional callable computing extra metrics from the materialized output
     metrics_fn: Callable[[DataFrame], dict] | None = None
 
@@ -72,15 +129,23 @@ class StageRunner:
         if m is None or not (self.data_path(stage.name) / "_SUCCESS").exists():
             return False
         expected = {i: self._fingerprint(i) for i in stage.inputs}
-        return m.get("input_fingerprints", {}) == expected
+        if m.get("input_fingerprints", {}) != expected:
+            return False
+        expected_ext = {e: fingerprint_external(e) for e in stage.external_inputs}
+        return m.get("external_fingerprints", {}) == expected_ext
 
     # -- execution ---------------------------------------------------------
     def load(self, stage_name: str) -> DataFrame:
         return self.spark.read.parquet(str(self.data_path(stage_name)))
 
+    def rows(self, stage_name: str) -> int | None:
+        """Committed row count of a completed stage (manifest lookup)."""
+        m = self.read_manifest(stage_name)
+        return m["rows"] if m else None
+
     def run(self, stages: list[Stage], force: bool = False) -> dict[str, dict]:
         """Run stages in order; returns {stage: manifest}. Completed stages
-        (manifest + data + matching input lineage) are skipped."""
+        (manifest + data + matching input/external lineage) are skipped."""
         results: dict[str, dict] = {}
         for st in stages:
             if not force and self.is_complete(st):
@@ -97,17 +162,20 @@ class StageRunner:
                 shutil.rmtree(final)
             os.rename(tmp, final)
 
-            out = self.load(st.name)
-            n_rows = out.count()
-            n_files = len(list(final.glob("*.parquet")))
-            extra = st.metrics_fn(out) if st.metrics_fn else {}
+            # rows + per-partition records from footers: zero Spark jobs
+            n_rows, partitions = _scan_parquet_dir(final)
+            extra = st.metrics_fn(self.load(st.name)) if st.metrics_fn else {}
             manifest = {
                 "stage": st.name,
                 "rows": n_rows,
-                "files": n_files,
+                "files": len(partitions),
+                "partitions": partitions,
                 "wall_seconds": round(time.time() - t0, 3),
                 "input_fingerprints": {i: self._fingerprint(i) for i in st.inputs},
-                "fingerprint": uuid.uuid4().hex,
+                "external_fingerprints": {
+                    e: fingerprint_external(e) for e in st.external_inputs
+                },
+                "fingerprint": fingerprint_listing(partitions),
                 "metrics": extra,
             }
             self.manifest_path(st.name).write_text(json.dumps(manifest, indent=2))
@@ -119,9 +187,13 @@ class StageRunner:
         rows = []
         for p in sorted((self.workdir / "_manifest").glob("*.json")):
             m = json.loads(p.read_text())
-            for inp, fp in m.get("input_fingerprints", {}).items():
+            deps = [
+                *m.get("input_fingerprints", {}).items(),
+                *m.get("external_fingerprints", {}).items(),
+            ]
+            for inp, fp in deps:
                 rows.append((m["stage"], inp, fp, m["fingerprint"]))
-            if not m.get("input_fingerprints"):
+            if not deps:
                 rows.append((m["stage"], None, None, m["fingerprint"]))
         return self.spark.createDataFrame(
             rows, "stage string, input_stage string, input_fingerprint string, fingerprint string"
@@ -136,4 +208,15 @@ class StageRunner:
             )
         return self.spark.createDataFrame(
             rows, "stage string, rows long, files long, wall_seconds double, metrics_json string"
+        )
+
+    def partition_metrics(self) -> DataFrame:
+        """One row per (stage, output file): the per-partition metrics table."""
+        rows = []
+        for p in sorted((self.workdir / "_manifest").glob("*.json")):
+            m = json.loads(p.read_text())
+            for part in m.get("partitions", []):
+                rows.append((m["stage"], part["file"], part["rows"], part["bytes"]))
+        return self.spark.createDataFrame(
+            rows, "stage string, file string, rows long, bytes long"
         )

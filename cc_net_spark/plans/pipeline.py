@@ -58,9 +58,15 @@ class NearDupConfig:
     # hash-table artifact stage (not consumed by clustering).
     fused_pairs: bool = False
     include_exact_hashes: bool = True
+    # cluster-profile metrics (n_clusters distinct count) cost two extra
+    # Spark jobs on the final table — opt-in (manifests already carry
+    # per-partition row counts for free from the Parquet footers)
+    collect_metrics: bool = False
 
 
-def build_stages(clips_path: str, cfg: NearDupConfig) -> list[Stage]:
+def build_stages(
+    clips_path: str, cfg: NearDupConfig, workdir: str | None = None
+) -> list[Stage]:
     idc, txt = cfg.id_col, cfg.text_col
 
     def load_clips(spark: SparkSession) -> DataFrame:
@@ -129,7 +135,20 @@ def build_stages(clips_path: str, cfg: NearDupConfig) -> list[Stage]:
         )
 
     def stage_clusters(spark: SparkSession, edges: DataFrame) -> DataFrame:
-        comp = connected_components(edges.select("id_a", "id_b").distinct())
+        # the edges stage manifest already knows its row count (an upper
+        # bound on distinct canonical edges) — pass it down so the CC
+        # operator can skip its sizing count() job
+        edge_count = None
+        if workdir is not None:
+            import json as _json
+            from pathlib import Path as _Path
+
+            mpath = _Path(workdir) / "_manifest" / "edges.json"
+            if mpath.exists():
+                edge_count = _json.loads(mpath.read_text())["rows"]
+        comp = connected_components(
+            edges.select("id_a", "id_b").distinct(), edge_count=edge_count
+        )
         ids = load_clips(spark).select(idc)
         return assign_clusters(ids, comp, idc)
 
@@ -152,27 +171,47 @@ def build_stages(clips_path: str, cfg: NearDupConfig) -> list[Stage]:
             .unionByName(tag(stage_substring_pairs(spark), "substring"))
         )
 
-    head = [Stage("exact_hashes", stage_exact_hashes)] if cfg.include_exact_hashes else []
+    metrics_fn = dup_ratio if cfg.collect_metrics else None
+    ext = [clips_path]
+    head = (
+        [Stage("exact_hashes", stage_exact_hashes, external_inputs=ext)]
+        if cfg.include_exact_hashes
+        else []
+    )
     if cfg.fused_pairs:
         return [
             *head,
-            Stage("signatures", stage_signatures),
-            Stage("edges", stage_edges_fused, inputs=["signatures"]),
-            Stage("clusters", stage_clusters, inputs=["edges"], metrics_fn=dup_ratio),
+            Stage("signatures", stage_signatures, external_inputs=ext),
+            # the fused edges stage also reads clips directly (exact +
+            # substring passes), not only the signatures stage
+            Stage("edges", stage_edges_fused, inputs=["signatures"], external_inputs=ext),
+            Stage(
+                "clusters",
+                stage_clusters,
+                inputs=["edges"],
+                external_inputs=ext,
+                metrics_fn=metrics_fn,
+            ),
         ]
     return [
         *head,
-        Stage("signatures", stage_signatures),
-        Stage("exact_pairs", stage_exact_pairs),
+        Stage("signatures", stage_signatures, external_inputs=ext),
+        Stage("exact_pairs", stage_exact_pairs, external_inputs=ext),
         Stage("minhash_pairs", stage_minhash_pairs, inputs=["signatures"]),
         Stage("simhash_pairs", stage_simhash_pairs, inputs=["signatures"]),
-        Stage("substring_pairs", stage_substring_pairs),
+        Stage("substring_pairs", stage_substring_pairs, external_inputs=ext),
         Stage(
             "edges",
             stage_edges,
             inputs=["exact_pairs", "minhash_pairs", "simhash_pairs", "substring_pairs"],
         ),
-        Stage("clusters", stage_clusters, inputs=["edges"], metrics_fn=dup_ratio),
+        Stage(
+            "clusters",
+            stage_clusters,
+            inputs=["edges"],
+            external_inputs=ext,
+            metrics_fn=metrics_fn,
+        ),
     ]
 
 
@@ -186,5 +225,5 @@ def run_near_dup_pipeline(
     """Run (or resume) the full pipeline; returns (clusters_df, manifests)."""
     cfg = cfg or NearDupConfig()
     runner = StageRunner(spark, workdir)
-    manifests = runner.run(build_stages(clips_path, cfg), force=force)
+    manifests = runner.run(build_stages(clips_path, cfg, workdir), force=force)
     return runner.load("clusters"), manifests

@@ -157,3 +157,46 @@ def test_incremental_streaming_dedup(spark, tmp_path):
     rows = {r["doc_id"]: r["text"] for r in out2.collect()}
     assert rows[3] == "delta"  # "shared line" removed cross-batch
     assert out2.count() == 3  # batch0 rows not reprocessed (checkpoint)
+
+    # hashes table is append-only, partitioned by batch: each batch's
+    # partition holds only that batch's distinct hashes (write ∝ batch,
+    # not corpus — the 100 TB requirement)
+    hashes = spark.read.parquet(str(tmp_path / "hashes"))
+    per_batch = {
+        r["_batch_id"]: r["n"]
+        for r in hashes.groupBy("_batch_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_batch[0] == 4  # shared line, alpha, beta, gamma
+    assert per_batch[1] == 2  # shared line (flagged dup), delta
+
+
+def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing a batch must not
+    re-merge its hashes (which would flag the whole batch as duplicate
+    and lose its docs) nor duplicate output rows."""
+    from cc_net_spark.streaming.incremental import IncrementalDeduper
+
+    dedup = IncrementalDeduper(
+        str(tmp_path / "hashes"), str(tmp_path / "out"), "text", "doc_id"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "shared line\nalpha"), (2, "beta\ngamma")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, "shared line\ndelta")], "doc_id long, text string"
+    )
+    dedup.process_batch(b0, 0)
+    dedup.process_batch(b1, 1)
+
+    def snapshot():
+        out = spark.read.parquet(str(tmp_path / "out"))
+        return sorted((r["doc_id"], r["text"]) for r in out.collect())
+
+    first = snapshot()
+    assert (3, "delta") in first and len(first) == 3
+    # replay BOTH batches (simulated failure-recovery) — state unchanged
+    dedup.process_batch(b0, 0)
+    dedup.process_batch(b1, 1)
+    assert snapshot() == first
+    hashes = spark.read.parquet(str(tmp_path / "hashes"))
+    assert hashes.count() == 6  # 4 + 2, no growth on replay

@@ -93,6 +93,52 @@ def test_fused_pipeline_matches_staged(spark, clips_path, tmp_path):
     assert set(m) == {"signatures", "edges", "clusters"}
 
 
+def test_external_input_change_invalidates_stage(spark, tmp_path):
+    """A stage reading an external path re-runs when that data changes,
+    even though no upstream *stage* changed (round-1 gap: silent stale
+    resume over a changed source table)."""
+    src = tmp_path / "src.parquet"
+    spark.range(4).write.mode("overwrite").parquet(str(src))
+    runner = StageRunner(spark, tmp_path / "dag")
+
+    def read_src(s):
+        return s.read.parquet(str(src)).agg(F.count(F.lit(1)).alias("n"))
+
+    stages = [Stage("agg", read_src, external_inputs=[str(src)])]
+    runner.run(stages)
+    assert runner.load("agg").collect()[0]["n"] == 4
+    assert runner.run(stages)["agg"].get("skipped")
+    # change the external data -> stage must re-run
+    spark.range(7).write.mode("overwrite").parquet(str(src))
+    r = runner.run(stages)
+    assert not r["agg"].get("skipped")
+    assert runner.load("agg").collect()[0]["n"] == 7
+
+
+def test_fingerprints_are_content_based(spark, tmp_path):
+    """A forced re-run producing identical output keeps the fingerprint,
+    so downstream stages still skip (content-addressed lineage); manifests
+    carry per-partition row counts without any Spark count() job."""
+    runner = StageRunner(spark, tmp_path / "dag")
+
+    def a(s):
+        return s.range(6).select(F.col("id"))
+
+    def b(s, a):
+        return a.agg(F.count(F.lit(1)).alias("n"))
+
+    stages = [Stage("a", a), Stage("b", b, inputs=["a"])]
+    m1 = runner.run(stages)
+    fp1 = m1["a"]["fingerprint"]
+    assert m1["a"]["rows"] == 6
+    assert sum(p["rows"] for p in m1["a"]["partitions"]) == 6
+    m2 = runner.run([Stage("a", a)], force=True)
+    assert m2["a"]["fingerprint"] == fp1  # identical content => same fp
+    r = runner.run(stages)
+    assert r["b"].get("skipped")  # downstream still valid
+    assert runner.partition_metrics().filter(F.col("stage") == "a").count() >= 1
+
+
 def test_stage_invalidation_on_upstream_change(spark, tmp_path):
     runner = StageRunner(spark, tmp_path / "dag")
 
