@@ -53,6 +53,34 @@ def make_spark(cores: int) -> SparkSession:
     )
 
 
+def spin_rate(procs: int, seconds: float = 4.0) -> float:
+    """Deliverable-CPU probe: total ops/s of `procs` pure-python spinners.
+    This VM's deliverable CPU swings ~1.6-2.6x with burst-credit state;
+    a probe immediately before each timed leg measures what the hardware
+    is actually providing, so engine scaling can be separated from VM
+    throttle (spin-normalized efficiency)."""
+    import multiprocessing as mp
+
+    def spin(q):
+        t_end = time.time() + seconds
+        n = 0
+        x = 1.0
+        while time.time() < t_end:
+            for _ in range(10_000):
+                x = x * 1.0000001 + 1.0
+            n += 10_000
+        q.put(n)
+
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=spin, args=(q,)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / seconds
+
+
 def warm_workers(spark: SparkSession, cores: int) -> None:
     """Untimed warm-up: spin up the python UDF workers (one per core) and
     the shuffle machinery. The ~6-7 s one-time worker import cost is a
@@ -72,14 +100,17 @@ def warm_workers(spark: SparkSession, cores: int) -> None:
 
 def run_leg(cores: int, clips_path: str, n: int) -> None:
     """Subprocess entry: one isolated JVM per scaling leg (a stopped-and-
-    restarted context in the same process measurably degrades later legs)."""
+    restarted context in the same process measurably degrades later legs).
+    A spin probe right before the timed job records the VM's deliverable
+    CPU for that window."""
+    spin = spin_rate(cores)
     spark = make_spark(cores)
     try:
         warm_workers(spark, cores)
         t, _ = timed(cluster_job, spark, clips_path)
     finally:
         spark.stop()
-    print(json.dumps({"cores": cores, "seconds": round(t, 3), "n": n}))
+    print(json.dumps({"cores": cores, "seconds": round(t, 3), "n": n, "spin_ops_per_sec": round(spin)}))
 
 
 def cluster_job(spark: SparkSession, clips_path: str) -> int:
@@ -112,11 +143,75 @@ def timed(fn, *args):
     return time.time() - t0, res
 
 
+def run_scaling(tmp: str) -> dict:
+    """N vs 4N parallelism on identical input (cluster stand-in). Runs
+    FIRST in the bench (freshest burst credits); each leg in a fresh
+    subprocess; legs interleaved lo/hi; a spin probe per leg separates
+    engine scaling from VM throttle."""
+    import subprocess
+
+    scaling_path = os.path.join(tmp, "clips_scaling.parquet")
+    s0 = make_spark(CPUS)
+    try:
+        from cc_net_spark.sources import synth
+
+        synth.generate_clips(
+            s0, N_SCALING, seed=42, with_audio=False, size_scale=SIZE_SCALE
+        ).write.mode("overwrite").parquet(scaling_path)
+    finally:
+        s0.stop()
+    # 2 vs 8 cores: the pure-python spin baseline showed 2->8 is the
+    # hardware-clean regime on this box (8->32 loses ~30% to freq/steal)
+    lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+    hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cores * 4)))
+    legs: dict[int, list[dict]] = {lo_cores: [], hi_cores: []}
+    for _rep in range(SCALING_REPS):
+        for cores in (lo_cores, hi_cores):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--leg", str(cores), scaling_path],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            legs[cores].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    scaling: dict = {}
+    best: dict[int, dict] = {}
+    for cores, key in ((lo_cores, "lo"), (hi_cores, "hi")):
+        b = min(legs[cores], key=lambda l: l["seconds"])
+        best[cores] = b
+        scaling[key] = {
+            "cores": cores,
+            "seconds": b["seconds"],
+            "all_seconds": [l["seconds"] for l in legs[cores]],
+            "spin_ops_per_sec": b["spin_ops_per_sec"],
+            "all_spin": [l["spin_ops_per_sec"] for l in legs[cores]],
+            "clips_per_sec": round(N_SCALING / b["seconds"], 1),
+        }
+    ratio = scaling["hi"]["clips_per_sec"] / scaling["lo"]["clips_per_sec"]
+    scaling["n_clips"] = N_SCALING
+    scaling["speedup"] = round(ratio, 3)
+    scaling["efficiency"] = round(ratio / (hi_cores / lo_cores), 3)
+    # spin-normalized: engine speedup relative to what the VM actually
+    # delivered to hi vs lo (cancels burst-credit throttle); the spin
+    # ratio is capped at the core ratio so normalization can only correct
+    # for throttle, never inflate past the raw core ratio
+    spin_ratio = min(
+        hi_cores / lo_cores,
+        best[hi_cores]["spin_ops_per_sec"] / best[lo_cores]["spin_ops_per_sec"],
+    )
+    scaling["spin_ratio"] = round(spin_ratio, 3)
+    scaling["efficiency_spin_normalized"] = round(ratio / spin_ratio, 3)
+    return scaling
+
+
 def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_clips_")
     clips_path = os.path.join(tmp, "clips.parquet")
     timings: dict[str, float] = {}
     extras: dict = {}
+
+    if DO_SCALING:
+        extras["scaling"] = run_scaling(tmp)
 
     spark = make_spark(CPUS)
     try:
@@ -143,6 +238,11 @@ def main() -> None:
         t, _ = timed(lambda: Q.q_dup_chunk_pairs(spark, SF_DIR).count())
         timings["dup_chunk_pairs"] = round(t, 3)
 
+        # distributed alternating-star CC (driver fallback disabled) — the
+        # 100x-scale path must be what gets measured, not the collect()
+        t, _ = timed(lambda: Q.q_cc_clusters_dist(spark, SF_DIR).count())
+        timings["cc_clusters_dist"] = round(t, 3)
+
         t, _ = timed(lambda: Q.q_minhash_lsh_pairs(spark, SF_DIR).count())
         timings["minhash_lsh_docs"] = round(t, 3)
 
@@ -157,58 +257,6 @@ def main() -> None:
         timings["ann_matmul_topk"] = round(t, 3)
     finally:
         spark.stop()
-
-    if DO_SCALING:
-        # N vs 4N parallelism on the identical input (cluster stand-in).
-        # Each leg runs in a FRESH subprocess = fresh JVM, mirroring one
-        # spark-submit per job.
-        import subprocess
-
-        scaling_path = os.path.join(tmp, "clips_scaling.parquet")
-        s0 = make_spark(CPUS)
-        try:
-            from cc_net_spark.sources import synth
-
-            synth.generate_clips(
-                s0, N_SCALING, seed=42, with_audio=False, size_scale=SIZE_SCALE
-            ).write.mode("overwrite").parquet(scaling_path)
-        finally:
-            s0.stop()
-        # N vs 4N at 2 vs 8 cores: measured with a pure-python spin
-        # baseline, this box's 8->32 thread regime only provides ~2.9x the
-        # CPU (frequency/steal), capping ANY job at ~0.71 efficiency; the
-        # 2->8 regime is hardware-clean (4.1x spin scaling), so it is the
-        # honest stand-in for adding executors to an unsaturated cluster.
-        lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
-        hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cores * 4)))
-        # legs interleaved (lo,hi,lo,hi): this VM's deliverable CPU swings
-        # ~1.6x within minutes, so back-to-back legs can land the throttle
-        # entirely on one side; interleaving + best-of is the fair sample
-        samples: dict[int, list[float]] = {lo_cores: [], hi_cores: []}
-        for _rep in range(SCALING_REPS):
-            for cores in (lo_cores, hi_cores):
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--leg", str(cores), scaling_path],
-                    capture_output=True,
-                    text=True,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
-                leg = json.loads(proc.stdout.strip().splitlines()[-1])
-                samples[cores].append(leg["seconds"])
-        scaling = {}
-        for cores, key in ((lo_cores, "lo"), (hi_cores, "hi")):
-            best = min(samples[cores])
-            scaling[key] = {
-                "cores": cores,
-                "seconds": best,
-                "all_seconds": samples[cores],
-                "clips_per_sec": round(N_SCALING / best, 1),
-            }
-        ratio = scaling["hi"]["clips_per_sec"] / scaling["lo"]["clips_per_sec"]
-        scaling["n_clips"] = N_SCALING
-        scaling["speedup"] = round(ratio, 3)
-        scaling["efficiency"] = round(ratio / (hi_cores / lo_cores), 3)
-        extras["scaling"] = scaling
 
     shutil.rmtree(tmp, ignore_errors=True)
 

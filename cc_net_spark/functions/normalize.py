@@ -113,6 +113,91 @@ def normalize(
     return remove_non_printing_char(text)
 
 
+# Ordered rewrite program for the Moses-style pre-tokenization spacing
+# normalizer (``cc_net/text_normalizer.py:82-155``). Each step is either a
+# literal str.replace or a regex sub, applied IN ORDER — order matters
+# (e.g. "''" is rewritten twice at different points). Behavioral parity
+# is byte-exact INCLUDING the port's quirks, which we keep deliberately:
+# * ("lit", " +", " ") is a literal two-char pattern, not a regex —
+#   the Moses original collapsed runs of spaces; the port does not,
+# * ("lit", "([a-z])‘([a-z])", ...) are literal patterns that almost
+#   never occur — regex-looking strings passed to str.replace,
+# * several pseudo-space rules (("lit", "nº ", "nº "), (", ", ", "), ...)
+#   are no-ops — the original matched NO-BREAK SPACE, the port lost it.
+_SPACING_PROGRAM: list[tuple[str, str, str]] = [
+    ("lit", "\r", ""),
+    ("lit", "(", " ("),
+    ("lit", ")", ") "),
+    ("lit", " +", " "),
+    # the reference's replacement templates are r"\)\1" / r"\1\%" — Python
+    # leaves unknown escapes in templates ALONE, so a literal backslash
+    # lands in the output; parity keeps it (explicitly escaped here)
+    ("re", r"\) ([\.\!\:\?\;\,])", r"\\)\1"),
+    ("lit", "( ", "("),
+    ("lit", " )", ")"),
+    ("re", r"(\d) \%", r"\1\\%"),
+    ("lit", " :", ":"),
+    ("lit", " ;", ";"),
+    ("lit", "`", "'"),
+    ("lit", "''", ' " '),
+    ("lit", "„", '"'),
+    ("lit", "“", '"'),
+    ("lit", "”", '"'),
+    ("lit", "–", "-"),
+    ("lit", "—", " - "),
+    ("lit", " +", " "),
+    ("lit", "´", "'"),
+    ("lit", "([a-z])‘([a-z])", r"\1'\2/"),
+    ("lit", "([a-z])’([a-z])", r"\1'\2/"),
+    ("lit", "‘", '"'),
+    ("lit", "‚", '"'),
+    ("lit", "’", '"'),
+    ("lit", "''", '"'),
+    ("lit", "´´", '"'),
+    ("lit", "…", "..."),
+    ("lit", " « ", ' "'),
+    ("lit", "« ", '"'),
+    ("lit", "«", '"'),
+    ("lit", " » ", '" '),
+    ("lit", " »", '"'),
+    ("lit", "»", '"'),
+    ("lit", " %", "%"),
+    ("lit", "nº ", "nº "),
+    ("lit", " :", ":"),
+    ("lit", " ºC", " ºC"),
+    ("lit", " cm", " cm"),
+    ("lit", " ?", "?"),
+    ("lit", " !", "!"),
+    ("lit", " ;", ";"),
+    ("lit", ", ", ", "),
+    ("lit", " +", " "),
+    ("lit", "．", ". "),
+]
+
+
+def normalize_spacing_for_tok(text: str, language: str = "en") -> str:
+    """Pre-tokenization spacing/punctuation normalization
+    (``cc_net/text_normalizer.py:82-155``; Moses `normalize-punctuation`
+    lineage). Needed the day a real tokenizer+LM scorer is slotted in."""
+    res = text
+    for kind, old, new in _SPACING_PROGRAM:
+        res = res.replace(old, new) if kind == "lit" else re.sub(old, new, res)
+    if language == "en":
+        # English: comma/period moves inside the closing quote
+        res = re.sub(r"\"([,\.]+)", r"\1\"", res)
+    elif language in ("cs", "cz"):
+        pass
+    else:
+        # German/Spanish/French style
+        res = res.replace(',"', '",')
+        res = re.sub(r"(\.+)\"(\s*[^<])", r"\"\1\2", res)
+    if language in ("de", "es", "cz", "cs", "fr"):
+        res = re.sub(r"(\d) (\d)", r"\1,\2", res)
+    else:
+        res = re.sub(r"(\d) (\d)", r"\1.\2", res)
+    return res
+
+
 def normalize_for_dedup(text: str) -> str:
     """The dedup canonicalization (``cc_net/text_normalizer.py:180-189``)."""
     text = text.strip()

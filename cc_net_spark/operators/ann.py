@@ -200,6 +200,128 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 64,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: numpy Lloyd iterations over
+    a deterministic sample (first ``sample`` rows by id). The sample is
+    driver-side by design — the quantizer trains on a bounded subset, the
+    assignment pass below is fully distributed."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    m = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    m = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(m))
+    cents = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        sims = m @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(1e-12, np.linalg.norm(v))
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cell): nearest-centroid cell(s) per vector — one matmul per
+    Arrow batch, centroids broadcast. nprobe > 1 emits the top-nprobe
+    cells (used on the query side for recall)."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+    src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+            m = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
+            sims = m @ cents.T
+            p = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            out_ids = np.repeat(pdf[id_col].to_numpy(), p)
+            yield pd.DataFrame({id_col: out_ids, "cell": top.ravel().astype(np.int32)})
+
+    return src.mapInPandas(assign, schema=f"{id_col} long, cell int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 64,
+    nprobe: int = 4,
+    seed: int = 7,
+    corpus_cells: DataFrame | None = None,
+    query_cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF search (the third ANN tier next to exact-matmul and LSH):
+    train a coarse quantizer, partition the corpus into cells, probe only
+    the query's top-nprobe cells, exact-cosine rerank. Candidate volume is
+    ~nprobe/n_cells of the corpus per query — the sub-linear scale path
+    with tunable recall (raise nprobe). Precomputed cell assignments can
+    be passed in (a stored IVF index; also lets an oracle re-derive the
+    probe join from the exported assignment tables)."""
+    if corpus_cells is None or query_cells is None:
+        cents = kmeans_centroids(
+            corpus, vec_col=vec_col, id_col=id_col, n_cells=n_cells, seed=seed
+        )
+        if corpus_cells is None:
+            corpus_cells = ivf_assign(
+                corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+            )
+        if query_cells is None:
+            query_cells = ivf_assign(
+                queries, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+            ).withColumnRenamed(id_col, "query_id")
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cells.withColumnRenamed(id_col, "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    scored = (
+        cand.join(qvecs, "query_id")
+        .join(vecs.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv")), "neighbor_id")
+        .withColumn("cosine", F.round(_cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     *,

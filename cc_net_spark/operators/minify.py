@@ -17,20 +17,75 @@ Catalyst/AQE picks broadcast vs shuffle.
 
 from __future__ import annotations
 
+import base64
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType
 
 MINIFY_COLUMNS = ["language", "language_score", "perplexity", "bucket", "cc_segment"]
+
+
+# ---------------------------------------------------------------------------
+# wire-format codecs — byte-compatible with reference-produced metadata
+# ---------------------------------------------------------------------------
+
+
+def encode_line_ids(line_ids) -> str:
+    """base64 of little-endian uint16 array (``cc_net/minify.py:62-64``) —
+    the reference's on-disk line_ids format (implies <= 65,535 lines/doc)."""
+    return base64.b64encode(np.asarray(line_ids, dtype="<u2").tobytes()).decode("ascii")
+
+
+def decode_line_ids(compact: str) -> list[int]:
+    """Inverse codec. NB the reference decodes as ``<i2``
+    (``cc_net/minify.py:67-69``), which corrupts ids > 32767; we decode
+    ``<u2`` (matching the encoder) and document the divergence."""
+    return np.frombuffer(base64.b64decode(compact), dtype="<u2").astype("int32").tolist()
+
+
+def doc_key(digest: str) -> int:
+    """4..8-byte join key from a CC ``sha1:BASE32`` digest
+    (``cc_net/minify.py:73-75``): b32decode, first 8 bytes as LE u64 —
+    the same formula as the dedup hash, so reference-minified metadata
+    joins directly against our hash columns (carried as signed int64)."""
+    assert digest.startswith("sha1:"), digest
+    raw = base64.b32decode(digest[5:])
+    return int(np.frombuffer(raw[:8], dtype="<u8").view("<i8")[0])
+
+
+@pandas_udf(StringType())
+def encode_line_ids_udf(line_ids: pd.Series) -> pd.Series:
+    return line_ids.map(encode_line_ids)
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def decode_line_ids_udf(compact: pd.Series) -> pd.Series:
+    return compact.map(decode_line_ids)
+
+
+@pandas_udf(LongType())
+def doc_key_udf(digest: pd.Series) -> pd.Series:
+    return digest.map(doc_key)
 
 
 def minify(
     deduped: DataFrame,
     id_col: str = "doc_id",
     keep: list[str] | None = None,
+    wire_compat: bool = False,
 ) -> DataFrame:
     """Project to id + line_ids + whichever metadata columns exist, with the
-    reference's rounding (pp -> 1dp, score -> 2dp, ``cc_net/minify.py:91-97``)."""
-    cols = [F.col(id_col), F.col("line_ids")]
+    reference's rounding (pp -> 1dp, score -> 2dp, ``cc_net/minify.py:91-97``).
+
+    ``wire_compat=True`` emits line_ids in the reference's base64 ``<u2``
+    string format instead of a native array (cross-compat with
+    reference-produced minified metadata)."""
+    lid = encode_line_ids_udf(F.col("line_ids")) if wire_compat else F.col("line_ids")
+    cols = [F.col(id_col), lid.alias("line_ids")]
     present = set(deduped.columns)
     for c in keep if keep is not None else MINIFY_COLUMNS:
         if c not in present:
@@ -51,7 +106,10 @@ def unminify(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Rebuild deduped content: meta ⋈ originals, then gather the original
-    paragraphs at ``line_ids`` (``cc_net/minify.py:173-195``)."""
+    paragraphs at ``line_ids`` (``cc_net/minify.py:173-195``). String-typed
+    (wire-compat base64) line_ids are decoded transparently."""
+    if dict(meta.dtypes)["line_ids"] == "string":
+        meta = meta.withColumn("line_ids", decode_line_ids_udf(F.col("line_ids")))
     orig = originals.select(F.col(id_col), F.split(F.col(field), "\n").alias("_lines"))
     joined = meta.join(orig, id_col, "inner")
     gathered = F.transform(F.col("line_ids"), lambda i: F.element_at("_lines", i + 1))

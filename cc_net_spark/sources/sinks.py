@@ -54,3 +54,29 @@ def regroup(df: DataFrame, path: str, *, target_files: int, fmt: str = "parquet"
     """Shard compaction (``cc_net/regroup.py:62-118``): rewrite into
     ~target_files outputs. On Iceberg this is ``rewrite_data_files``."""
     df.coalesce(target_files).write.mode("overwrite").format(fmt).save(path)
+
+
+def regroup_by_size(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_bytes: int = 4 << 30,
+    fmt: str = "parquet",
+) -> int:
+    """Size-targeted compaction — the reference's 4 GB bin-packing
+    (``cc_net/regroup.py:62-118``, ``fast_reshard`` target size) expressed
+    as: measure the source bytes from file metadata (no data read),
+    rewrite into ceil(total/target) files. Returns the file count."""
+    import math
+    from pathlib import Path
+
+    total = sum(f.stat().st_size for f in Path(src_path).rglob("*") if f.is_file())
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.format(fmt).load(src_path)
+    # repartition (not coalesce) when growing the file count; coalesce when
+    # shrinking — avoids skewed merged partitions on the shrink path too,
+    # since parquet input splits are size-balanced
+    writer = df.coalesce(n_files) if n_files <= df.rdd.getNumPartitions() else df.repartition(n_files)
+    writer.write.mode("overwrite").format(fmt).save(dst_path)
+    return n_files

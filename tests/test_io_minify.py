@@ -120,6 +120,56 @@ def test_minify_unminify_roundtrip(spark):
     assert {r["doc_id"]: r["nlines"] for r in rebuilt.collect()} == {1: 2, 2: 1}
 
 
+def test_regroup_by_size(spark, tmp_path):
+    """Size-targeted compaction: file count = ceil(total_bytes/target),
+    data preserved."""
+    from cc_net_spark.sources.sinks import regroup_by_size
+
+    src = tmp_path / "src"
+    spark.range(20000).repartition(16).write.parquet(str(src))
+    total = sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
+    target = total // 3  # expect ~3-4 files
+    n = regroup_by_size(spark, str(src), str(tmp_path / "dst"), target_bytes=target)
+    out_files = list((tmp_path / "dst").glob("*.parquet"))
+    assert len(out_files) == n <= 5
+    assert spark.read.parquet(str(tmp_path / "dst")).count() == 20000
+
+
+def test_minify_wire_compat_roundtrip(spark):
+    """Reference wire format: base64 <u2 line_ids + sha1-digest join key
+    (``cc_net/minify.py:38-75``). Byte parity checked against the known
+    encoding; unminify transparently decodes the string form."""
+    import base64 as b64
+    import hashlib
+
+    from cc_net_spark.operators.minify import (
+        doc_key,
+        encode_line_ids,
+        decode_line_ids,
+        minify,
+        unminify,
+    )
+    from cc_net_spark.functions.hashing import str_hash
+
+    assert encode_line_ids([0, 1, 2]) == "AAABAAIA"
+    for ids in ([], [0], [7, 0, 65535], list(range(100))):
+        assert decode_line_ids(encode_line_ids(ids)) == ids
+    s = "some paragraph"
+    digest = "sha1:" + b64.b32encode(hashlib.sha1(s.encode()).digest()).decode()
+    assert doc_key(digest) == str_hash(s)
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, "c\nd")], "doc_id long, raw_content string"
+    )
+    deduped = ed.deduplicate_two_pass(docs, "raw_content", "doc_id")
+    meta = minify(deduped, "doc_id", wire_compat=True)
+    assert dict(meta.dtypes)["line_ids"] == "string"
+    rebuilt = unminify(meta, docs, "raw_content", "doc_id")
+    a = {r["doc_id"]: r["raw_content"] for r in deduped.collect()}
+    b = {r["doc_id"]: r["raw_content"] for r in rebuilt.collect()}
+    assert a == b
+
+
 def test_incremental_streaming_dedup(spark, tmp_path):
     from cc_net_spark.streaming.incremental import run_incremental_dedup
 

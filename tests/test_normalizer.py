@@ -47,3 +47,28 @@ def test_accents_kept_in_dedup_but_stripped_in_normalize():
     assert txt.normalize_for_dedup("hèllo") == "hèllo"
     assert txt.normalize("hèllo", accent=True) == "hello"
     assert txt.strip_accents("hèllo") == "hello"
+
+
+def test_normalize_spacing_for_tok_golden():
+    """Byte parity with the reference's Moses-style spacing normalizer
+    (``cc_net/text_normalizer.py:82-155``), goldens generated from a
+    64k-case differential run against the reference (0 mismatches).
+    Includes the port's quirks kept deliberately: literal " +" patterns,
+    no-op pseudo-space rules, and backslashes from unknown template
+    escapes (r"\\)", r"\\%", r'\\"')."""
+    cases = [
+        ("hello ( world ) .", "en", "hello  (world)  ."),
+        ("12 34 cm", "en", "12.34 cm"),
+        ("12 34", "fr", "12,34"),
+        ('he said "yes," ok', "en", 'he said "yes," ok'),
+        ('he said "yes," ok', "de", 'he said "yes", ok'),
+        ("a « b » c", "en", 'a "b" c'),
+        ("5 % of nº 3", "en", "5\\% of nº 3"),
+        ("it’s ‘fine’…", "en", 'it"s "fine...\\"'),
+        ("x\r`y''z", "en", "x'y \" z"),
+        ("3 ?! ) ,", "en", "3?!)  ,"),
+        ('end." <tag', "es", 'end\\". <tag'),
+        ("", "en", ""),
+    ]
+    for text, lang, expected in cases:
+        assert txt.normalize_spacing_for_tok(text, lang) == expected, (text, lang)

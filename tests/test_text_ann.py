@@ -135,3 +135,57 @@ def test_lsh_topk_recall(spark, embeddings):
     hits = sum(1 for p in exact_set if p in got_set)
     recall = hits / len(exact_set)
     assert recall > 0.5, recall  # bucketed search trades recall for cost
+
+
+def test_scorer_slots_default_path(spark):
+    """The reference's default path lid -> keep_lang -> sp -> lm ->
+    pp_bucket (cc_net/mine.py:36-45) runs end-to-end on the fallback
+    backends; real fastText/SentencePiece/KenLM slot in via model paths
+    (gated on import) without changing the pipeline shape."""
+    from cc_net_spark.functions import scorers
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was good for the dog"),
+            (2, "der hund ist nicht auf der matte und das ist gut"),
+            (3, "le chat est dans la maison et il est pour les chiens"),
+            (4, "zzz qqq 12345 !!! ??? ###"),
+        ],
+        "doc_id long, text string",
+    )
+    out = scorers.classify_and_score(docs, "text")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["lang"] == "en" and rows[2]["lang"] == "de" and rows[3]["lang"] == "fr"
+    for r in rows.values():
+        assert set(["lang", "lang_score", "tokenized", "perplexity", "bucket"]) <= set(
+            r.asDict()
+        )
+        assert r["bucket"] in ("head", "middle", "tail")
+    # junk text scores worse (higher proxy perplexity) than fluent text
+    assert rows[4]["perplexity"] > rows[1]["perplexity"]
+    # keep_lang filters
+    kept = scorers.keep_lang(scorers.lid(docs, "text"), ["en"]).collect()
+    assert {r["doc_id"] for r in kept} == {1}
+    # deterministic across runs
+    again = {r["doc_id"]: r["perplexity"] for r in scorers.classify_and_score(docs, "text").collect()}
+    assert again == {k: v["perplexity"] for k, v in rows.items()}
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF candidates come only from probed cells; with nprobe=8 of 16
+    cells recall vs exact must be high, and every returned neighbor must
+    be cosine-correct (rerank is exact)."""
+    exact = ann.brute_force_topk(embeddings.limit(20), embeddings, k=3)
+    got = ann.ivf_topk(
+        embeddings, embeddings.limit(20), k=3, n_cells=16, nprobe=8
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got_rows = got.collect()
+    got_set = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    recall = sum(1 for p in exact_set if p in got_set) / len(exact_set)
+    assert recall > 0.6, recall
+    # determinism: same call, same result
+    again = {(r["query_id"], r["neighbor_id"]) for r in ann.ivf_topk(
+        embeddings, embeddings.limit(20), k=3, n_cells=16, nprobe=8
+    ).collect()}
+    assert again == got_set
