@@ -82,8 +82,14 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     """Small-graph fast path: collect the (deduped) edge list and run
     union-find on the driver. The alternating-star rounds cost several
     shuffles + a convergence action each; below the threshold that fixed
-    cost dwarfs the work. (GraphFrames' CC has the same local fallback.)"""
-    rows = e.collect()
+    cost dwarfs the work. (GraphFrames' CC has the same local fallback.)
+
+    Transfers both directions through Arrow (``toPandas`` /
+    ``createDataFrame(pandas)``) — Row-object collect + pickle
+    createDataFrame cost several flat seconds at ~10^5 edges."""
+    import pandas as pd
+
+    pdf = e.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -93,11 +99,15 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in rows:
-        ra, rb = find(r["src"]), find(r["dst"])
+    for ra, rb in zip(pdf["src"], pdf["dst"]):
+        ra, rb = find(ra), find(rb)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    assign = [(n, find(n)) for n in list(parent)]
+    assign = pd.DataFrame(
+        {"id": list(parent), "cluster_id": [find(n) for n in list(parent)]}
+    )
+    if not len(assign):
+        return e.sparkSession.createDataFrame([], _assign_schema(e))
     return e.sparkSession.createDataFrame(assign, _assign_schema(e))
 
 

@@ -1,0 +1,76 @@
+"""Physical-plan audits: the properties that make the 100 TB design real
+are visible in `.explain` output — assert them so a regression that
+silently widens a scan or drops a broadcast fails CI.
+
+* column pruning: no clustering stage may read the audio `bytes` payload
+* small-dim joins broadcast (explicit hint survives to the plan)
+* filters reach the Parquet scan (PushedFilters)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_net_spark.sources import synth
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def clips_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("plan_clips") / "clips.parquet"
+    synth.generate_clips(spark, 64, seed=42).write.mode("overwrite").parquet(str(p))
+    return str(p)
+
+
+def test_clustering_never_reads_audio_payload(spark, clips_path, tmp_path):
+    """Every text stage selects explicit columns, so Parquet column
+    pruning must drop `bytes` from the scan ReadSchema."""
+    from cc_net_spark.plans.pipeline import NearDupConfig, build_stages
+
+    cfg = NearDupConfig(fused_pairs=True, include_exact_hashes=False)
+    stages = build_stages(clips_path, cfg)
+    sig_df = stages[0].build(spark)
+    plan = plan_of(sig_df)
+    assert "bytes" not in plan, "signatures stage reads the audio payload"
+    edges_df = stages[1].build(spark, signatures=sig_df)
+    assert "bytes" not in plan_of(edges_df), "edges stage reads the audio payload"
+
+
+def test_broadcast_join_in_orders_by_segment(spark):
+    from cc_net_spark import queries as Q
+
+    plan = plan_of(Q.q_orders_by_segment(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    from cc_net_spark import queries as Q
+
+    plan = plan_of(Q.q_select_where(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    # both predicates pushed to the scan, not evaluated post-scan only
+    assert "n_chars" in plan.split("PushedFilters")[1][:400]
+
+
+def test_dedup_probe_reads_only_needed_columns(spark):
+    """The dedup probe over chunked documents must not scan unrelated
+    document columns (source, lang, ...)."""
+    from cc_net_spark import queries as Q
+
+    plan = plan_of(Q.q_dedup_chunks_dropall(spark, SF_DIR))
+    scans = [seg for seg in plan.split("Scan parquet")[1:]]
+    for seg in scans:
+        head = seg[:600]
+        assert "source" not in head.split("PushedFilters")[0], (
+            "dedup scan reads unrelated columns"
+        )
