@@ -184,6 +184,88 @@ def pair_audio_invariants(
 
 
 # ---------------------------------------------------------------------------
+# Audio fingerprinting -> near-duplicate detection over the PCM payload
+# (the audio-axis analogue of the transcript MinHash pass; fingerprint
+# design follows Haitsma & Kalker, "A Highly Robust Audio Fingerprinting
+# System", ISMIR 2002 — public literature, no reference counterpart)
+# ---------------------------------------------------------------------------
+
+
+def _occupancy_words(pcm: np.ndarray, frame: int, bands: int, rel: float) -> np.ndarray:
+    """Per-frame band-occupancy word: bit i = band i's energy exceeds
+    ``rel`` of the frame's max band energy. Robust to additive noise far
+    below the signal floor (a 45 dB-SNR perturbation moves band energies
+    by ~1e-4 of the signal — sign-stable at rel=0.01); coarse by design,
+    it is the LSH *candidate* key, never the verdict."""
+    n_frames = len(pcm) // frame
+    if n_frames < 1:
+        return np.empty(0, dtype=np.int64)
+    spec = np.abs(np.fft.rfft(pcm[: n_frames * frame].reshape(n_frames, frame), axis=1))
+    edges = np.linspace(1, spec.shape[1], bands + 1).astype(int)
+    energies = np.add.reduceat(spec**2, edges[:-1], axis=1)  # (n_frames, bands)
+    peak = np.maximum(energies.max(axis=1, keepdims=True), 1e-30)
+    bits = energies > rel * peak
+    weights = (1 << np.arange(bands, dtype=np.uint64)).astype(np.uint64)
+    return (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+
+
+def audio_fingerprints(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    *,
+    frame: int = 512,
+    bands: int = 16,
+    rel: float = 0.01,
+) -> DataFrame:
+    """(id, word): DISTINCT band-occupancy fingerprint words per clip —
+    one Arrow-batched decode pass, no shuffle. (Design after Haitsma &
+    Kalker ISMIR'02, adapted to occupancy bits: the delta-sign bits of
+    the original are noise-random on sparse stationary spectra.)"""
+    src = clips.select(id_col, "codec", "bytes")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, words = [], []
+            for cid, codec, blob in zip(pdf[id_col], pdf["codec"], pdf["bytes"]):
+                try:
+                    _, pcm = decode_clip(codec, bytes(blob))
+                except NotImplementedError:
+                    continue
+                for w in np.unique(_occupancy_words(pcm, frame, bands, rel)):
+                    ids.append(cid)
+                    words.append(int(w))
+            yield pd.DataFrame({id_col: ids, "word": words})
+
+    return src.mapInPandas(compute, schema=f"{id_col} string, word long")
+
+
+def audio_near_dup_pairs(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    *,
+    frame: int = 512,
+    bands: int = 16,
+    bucket_cap: int = 200,
+    min_snr_db: float = 30.0,
+) -> DataFrame:
+    """Near-duplicate clip pairs by AUDIO CONTENT (payload, not
+    transcript): occupancy-fingerprint buckets (skew-capped, the same
+    candidate machinery as the text passes) -> EXACT decoded-PCM SNR
+    verification. Pairs of the same underlying signal pass the >= 30 dB
+    floor; unrelated clips that share a coarse occupancy pattern score
+    ~0 dB and are rejected. Returns (id_a, id_b, snr_db)."""
+    from cc_net_spark.operators.pairs import candidate_pairs
+
+    fp = audio_fingerprints(clips, id_col, frame=frame, bands=bands)
+    cand = candidate_pairs(fp, ["word"], id_col, bucket_cap=bucket_cap)
+    verified = pair_audio_invariants(cand, clips, id_col, min_snr_db=min_snr_db)
+    return (
+        verified.filter(F.col("pcm_ok"))
+        .select("id_a", "id_b", F.round("snr_db", 3).alias("snr_db"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Feature extraction (real, numpy-only) + frame sampling
 # ---------------------------------------------------------------------------
 

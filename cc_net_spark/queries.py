@@ -1047,6 +1047,36 @@ SQL_AUDIO_INVARIANTS = """
 """
 
 
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clips by AUDIO PAYLOAD (band-occupancy fingerprint
+    buckets -> exact decoded-PCM SNR >= 30 dB verify). The planted
+    cluster roles 0..4 share each group's PCM (noise at ~45 dB), so the
+    expected output is exactly the 10 intra-cluster pairs per group —
+    pure index math for the oracle."""
+    from cc_net_spark.multimodal.audio import audio_near_dup_pairs
+    from cc_net_spark.sources import synth
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    n = (
+        max(160, min(2048, n_docs))
+        // synth.ROLES_PER_GROUP
+        * synth.ROLES_PER_GROUP
+    )
+    clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
+    return audio_near_dup_pairs(clips).select("id_a", "id_b")
+
+
+SQL_AUDIO_NEAR_DUP = """
+  WITH p AS (SELECT CAST(greatest(160, least(2048,
+               (SELECT count(*) FROM documents))) // 8 * 8 AS BIGINT) AS n),
+  g AS (SELECT range AS g FROM range(256) WHERE range < (SELECT n FROM p) // 8),
+  spec(ra, rb) AS (VALUES (0,1),(0,2),(0,3),(0,4),(1,2),(1,3),(1,4),(2,3),(2,4),(3,4))
+  SELECT printf('clip-%09d', g.g * 8 + spec.ra) AS id_a,
+         printf('clip-%09d', g.g * 8 + spec.rb) AS id_b
+  FROM g, spec
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real decode + feature extraction over synthetic clips."""
     from cc_net_spark.multimodal.audio import audio_features
@@ -1101,6 +1131,7 @@ def registry():
         "embedding_near_dup": q_embedding_near_dup,
         "clips_near_dup_clusters": q_clips_near_dup_clusters,
         "audio_invariants": q_audio_invariants,
+        "audio_near_dup": q_audio_near_dup,
         "audio_features": q_audio_features,
         "audio_frame_sample": q_audio_frame_sample,
     }
@@ -1139,5 +1170,6 @@ def registry():
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "clips_near_dup_clusters": SQL_CLIPS_CLUSTERS,
         "audio_invariants": SQL_AUDIO_INVARIANTS,
+        "audio_near_dup": SQL_AUDIO_NEAR_DUP,
     }
     return q, o

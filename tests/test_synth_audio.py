@@ -110,3 +110,23 @@ def test_expected_tables_consistent(spark):
         )
     )
     assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+
+
+def test_audio_near_dup_exact_planted_pairs(spark):
+    """Payload-level near-dup pass (occupancy-fingerprint buckets + SNR
+    verify) finds EXACTLY the planted intra-cluster pairs: recall 1.0
+    (roles 0-4 share the group PCM at ~45 dB SNR) and precision 1.0
+    (coarse occupancy collisions between unrelated clips are rejected by
+    the ~0 dB pairwise SNR)."""
+    from cc_net_spark.multimodal.audio import audio_near_dup_pairs
+
+    n = 160
+    clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
+    got = {(r["id_a"], r["id_b"]) for r in audio_near_dup_pairs(clips).collect()}
+    exp = {
+        (r["clip_id_a"], r["clip_id_b"])
+        for r in synth.expected_dup_pairs(spark, n).collect()
+    }
+    assert got == exp
+    snrs = audio_near_dup_pairs(clips).collect()
+    assert all(r["snr_db"] >= 30.0 for r in snrs)
