@@ -578,6 +578,36 @@ SQL_EVENTS_HOURLY = """
 """
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) over the events table —
+    the batch twin of the applyInPandasWithState streaming operator."""
+    from cc_net_spark.streaming.sessionize import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30.0)
+
+
+SQL_USER_SESSIONS = """
+  WITH o AS (
+    SELECT user_id, event_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events),
+  f AS (SELECT user_id, event_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o),
+  s AS (SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f)
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation anchor for basic agg correctness."""
     li = load(spark, sf_dir, "lineitem")
@@ -1118,6 +1148,7 @@ def registry():
         "length_buckets": q_length_buckets,
         "length_histogram": q_length_histogram,
         "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
         "brand_supplier_volume": q_brand_supplier_volume,
@@ -1155,6 +1186,7 @@ def registry():
         "length_buckets": SQL_LENGTH_BUCKETS,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "user_sessions": SQL_USER_SESSIONS,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "brand_supplier_volume": SQL_BRAND_SUPPLIER_VOLUME,
