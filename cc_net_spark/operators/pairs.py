@@ -74,6 +74,76 @@ def candidate_pairs(
     )
 
 
+def salted_candidate_pairs(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    *,
+    hot_threshold: int = 200,
+    n_salts: int = 16,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Candidate pairs with HOT-BUCKET SALTING instead of dropping.
+
+    Buckets <= ``hot_threshold`` go through the plain self-join. Hotter
+    buckets are salted: each member gets a deterministic salt
+    s = xxhash64(id) % n_salts, and the bucket's pair space is tiled into
+    the (s_a <= s_b) grid of salt-cell pairs — every member is replicated
+    ~n_salts times, every cell holds ~m/n_salts members, so the quadratic
+    work of an m-member bucket lands on ~n_salts^2/2 tasks instead of one
+    straggler. The FULL pair set is produced (no recall loss — unlike the
+    cap, which drops; use ``bucket_cap`` on top to still drop pathological
+    boilerplate buckets, with the same no-silent-truncation contract).
+
+    This is the "salting hot LSH buckets" strategy of the north rule;
+    `candidate_pairs` (cap) remains the right default for buckets that are
+    boilerplate rather than load imbalance.
+    """
+    b = bucketed.select(*bucket_cols, id_col).dropDuplicates([*bucket_cols, id_col])
+    sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    if bucket_cap is not None:
+        sizes = sizes.filter(F.col("_bsz") <= bucket_cap)
+    tagged = b.join(sizes, bucket_cols, "inner")
+
+    cold = tagged.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= hot_threshold))
+    cold_pairs = (
+        cold.select(*bucket_cols, F.col(id_col).alias("id_a"))
+        .join(cold.select(*bucket_cols, F.col(id_col).alias("id_b")), bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    hot = tagged.filter(F.col("_bsz") > hot_threshold).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    )
+    # left side owns cells (s, s..n-1), right side cells (0..s, s): the
+    # (cell_lo, cell_hi) equi-join covers every salt pair exactly once
+    left = hot.select(
+        *bucket_cols,
+        F.col(id_col).alias("id_a"),
+        F.col("_salt").alias("_lo"),
+        F.explode(F.sequence(F.col("_salt"), F.lit(n_salts - 1))).alias("_hi"),
+    )
+    right = hot.select(
+        *bucket_cols,
+        F.col(id_col).alias("id_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_lo"),
+        F.col("_salt").alias("_hi"),
+    )
+    # a pair lands in exactly one cell oriented by SALT order, which is
+    # independent of id order — canonicalize with least/greatest (an
+    # id_a < id_b filter would drop pairs whose salt order disagrees)
+    hot_pairs = (
+        left.join(right, [*bucket_cols, "_lo", "_hi"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
 def salted_bucket_sizes(bucketed: DataFrame, bucket_cols: list[str]) -> DataFrame:
     """Bucket-size profile (for skew diagnostics / deciding caps)."""
     return (

@@ -263,3 +263,35 @@ def test_connected_components_chain_and_singletons(spark):
     assigned = {r["clip_id"]: r["cluster_id"] for r in assign_clusters(ids, comp, "clip_id").collect()}
     assert assigned["c31"] == "c31" and assigned["c32"] == "c32"
     assert assigned["c15"] == "c00"
+
+
+def test_salted_candidate_pairs_full_recall_on_hot_bucket(spark):
+    """Salting a hot bucket must produce the EXACT pair set of the
+    uncapped self-join (no recall loss, unlike the cap), for every salt
+    orientation; cold buckets take the plain path."""
+    from cc_net_spark.operators.pairs import candidate_pairs, salted_candidate_pairs
+
+    rows = [("hot", f"m{i:03d}") for i in range(60)]  # 60 members -> 1770 pairs
+    rows += [("cold", "x1"), ("cold", "x2"), ("cold", "x3")]
+    df = spark.createDataFrame(rows, "bucket string, id string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in salted_candidate_pairs(
+            df, ["bucket"], "id", hot_threshold=10, n_salts=4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs(df, ["bucket"], "id", bucket_cap=10**6).collect()
+    }
+    assert got == exact
+    assert len(got) == 60 * 59 // 2 + 3
+
+    # bucket_cap on top still drops pathological buckets entirely
+    capped = salted_candidate_pairs(
+        df, ["bucket"], "id", hot_threshold=10, n_salts=4, bucket_cap=50
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {
+        ("x1", "x2"), ("x1", "x3"), ("x2", "x3")
+    }
