@@ -13,7 +13,7 @@ the percentile bucketing mirrors ``PerplexityBucket``
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # compact, disjoint-ish stopword marker sets (top function words per language)
@@ -123,6 +123,80 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fp") -> DataFrame:
     whitespace-canonicalized lowercase text (portable across engines)."""
     canon = F.array_join(_words(F.col(text_col)), " ")
     return df.withColumn(out_col, F.md5(canon))
+
+
+# sentence splitting: RE2-compatible pattern (works in both Spark and
+# DuckDB for the oracle) — a sentence is a maximal run without terminal
+# punctuation, plus its trailing .!? run. The reference uses the
+# sentence_splitter package (``cc_net/tools/expand_corpus.py:95-104``);
+# that backend slots in via ``splitter=`` when the package exists.
+SENTENCE_REGEX = r"[^.!?]+[.!?]*"
+
+
+def extract_sentences(
+    df: DataFrame, text_col: str, id_col: str, *, splitter: str = "regex"
+) -> DataFrame:
+    """(id, line_id, sent_id, sentence): line-split then sentence-split
+    (reference ``ExtractSentences.do``, ``tools/expand_corpus.py:98-104``).
+    JVM-side regex by default; pass splitter="sentence_splitter" to use
+    the real package (import-gated) through a pandas UDF."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_id", "_line"),
+    )
+    if splitter == "sentence_splitter":
+        return _split_with_package(lines, id_col)
+    sents = lines.select(
+        id_col,
+        "line_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_line"), F.lit(SENTENCE_REGEX), 0)
+        ).alias("sent_id", "sentence"),
+    )
+    return sents.withColumn("sentence", F.trim("sentence")).filter(
+        F.length("sentence") > 0
+    )
+
+
+def _split_with_package(lines: DataFrame, id_col: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sentence_splitter import SentenceSplitter  # import-gated backend
+
+        sp = SentenceSplitter("en")
+        for pdf in batches:
+            ids, lids, sids, sents = [], [], [], []
+            for i, lid, line in zip(pdf[id_col], pdf["line_id"], pdf["_line"]):
+                for k, s in enumerate(sp.split(text=line or "")):
+                    s = s.strip()
+                    if s:
+                        ids.append(i), lids.append(lid), sids.append(k), sents.append(s)
+            yield pd.DataFrame(
+                {id_col: ids, "line_id": lids, "sent_id": sids, "sentence": sents}
+            )
+
+    return lines.mapInPandas(
+        split, schema=f"{id_col} long, line_id int, sent_id int, sentence string"
+    )
+
+
+def unique_sentences(
+    df: DataFrame, text_col: str, id_col: str, *, splitter: str = "regex"
+) -> DataFrame:
+    """Corpus-wide sentence dedup, keep-first by (id, line_id, sent_id) —
+    the distributed form of the reference's in-RAM ``hashes: Set[int]``
+    (``tools/expand_corpus.py:105-113``; its str_hash set is an
+    implementation of exact-string dedup, expressed here as a window)."""
+    sents = extract_sentences(df, text_col, id_col, splitter=splitter)
+    w = Window.partitionBy("sentence").orderBy(id_col, "line_id", "sent_id")
+    return (
+        sents.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("sentence", id_col, "line_id", "sent_id")
+    )
 
 
 def percentile_bucket(

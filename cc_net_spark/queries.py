@@ -425,6 +425,45 @@ SQL_FINGERPRINTS = """
 """
 
 
+def q_unique_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sentence extraction + keep-first dedup
+    (``ExtractSentences``, ``cc_net/tools/expand_corpus.py:74-114``) over
+    the chunked documents (chunking makes real multi-line docs)."""
+    from cc_net_spark.functions.text import unique_sentences
+
+    docs = chunked_documents(spark, sf_dir)
+    return unique_sentences(docs, "text", "doc_id").select(
+        "sentence",
+        "doc_id",
+        F.col("line_id").cast("int").alias("line_id"),
+        F.col("sent_id").cast("int").alias("sent_id"),
+    )
+
+
+SQL_UNIQUE_SENTENCES = (
+    _SQL_CHUNKS
+    + r"""
+  , sarr AS (
+      SELECT doc_id, line_id,
+             regexp_extract_all(line, '[^.!?]+[.!?]*') AS arr
+      FROM chunks)
+  , sents AS (
+      SELECT doc_id, line_id, CAST(t.i AS INTEGER) AS sent_id,
+             trim(list_extract(arr, CAST(t.i + 1 AS INTEGER))) AS sentence
+      FROM sarr, unnest(range(CAST(len(arr) AS BIGINT))) AS t(i))
+  , nonempty AS (
+      SELECT doc_id, line_id, sent_id, sentence
+      FROM sents WHERE length(sentence) > 0)
+  SELECT sentence, doc_id, CAST(line_id AS INTEGER) AS line_id,
+         CAST(sent_id AS INTEGER) AS sent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY sentence
+                                     ORDER BY doc_id, line_id, sent_id) AS rn
+        FROM nonempty)
+  WHERE rn = 1
+"""
+)
+
+
 def q_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jsonql `where`+`select` parity (``cc_net/jsonql.py:585-649``)."""
     docs = load(spark, sf_dir, "documents")
@@ -1142,6 +1181,7 @@ def registry():
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "unique_sentences": q_unique_sentences,
         "select_where": q_select_where,
         "describe_documents": q_describe_documents,
         "stratified_sample": q_stratified_sample,
@@ -1180,6 +1220,7 @@ def registry():
         "quality_scores": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprints": SQL_FINGERPRINTS,
+        "unique_sentences": SQL_UNIQUE_SENTENCES,
         "select_where": SQL_SELECT_WHERE,
         "describe_documents": SQL_DESCRIBE,
         "stratified_sample": SQL_STRATIFIED,

@@ -189,3 +189,29 @@ def test_ivf_topk_recall(spark, embeddings):
         embeddings, embeddings.limit(20), k=3, n_cells=16, nprobe=8
     ).collect()}
     assert again == got_set
+
+
+def test_extract_and_unique_sentences(spark):
+    """Sentence splitting (punctuation-rich) + corpus-wide keep-first
+    dedup (ExtractSentences parity, tools/expand_corpus.py:98-113)."""
+    from cc_net_spark.functions.text import extract_sentences, unique_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First one. Second two!\nThird three? First one."),
+            (2, "First one. Brand new sentence here."),
+        ],
+        "doc_id long, text string",
+    )
+    sents = extract_sentences(docs, "text", "doc_id").collect()
+    got = {(r["doc_id"], r["line_id"], r["sent_id"]): r["sentence"] for r in sents}
+    assert got[(1, 0, 0)] == "First one."
+    assert got[(1, 0, 1)] == "Second two!"
+    assert got[(1, 1, 0)] == "Third three?"
+    assert got[(1, 1, 1)] == "First one."
+
+    uniq = {r["sentence"]: (r["doc_id"], r["line_id"], r["sent_id"])
+            for r in unique_sentences(docs, "text", "doc_id").collect()}
+    assert uniq["First one."] == (1, 0, 0)  # keep-first wins over doc 2
+    assert "Brand new sentence here." in uniq
+    assert len(uniq) == 4
