@@ -130,8 +130,12 @@ def pair_audio_invariants(
     allclose at SNR >= threshold + (normalized) transcript equality.
 
     Returns (id_a, id_b, snr_db double, transcript_equal boolean,
-    pcm_ok boolean). The audio payload is read only here.
+    pcm_ok boolean). The audio payload is read only here. A clips frame
+    without a transcript column (payload-only pipelines) yields
+    transcript_equal = true for the empty-vs-empty comparison.
     """
+    if "transcript" not in clips.columns:
+        clips = clips.withColumn("transcript", F.lit(None).cast("string"))
     side = clips.select(
         F.col(id_col), F.col("codec"), F.col("bytes"), F.col("transcript")
     )

@@ -62,6 +62,11 @@ class NearDupConfig:
     # Spark jobs on the final table — opt-in (manifests already carry
     # per-partition row counts for free from the Parquet footers)
     collect_metrics: bool = False
+    # multimodal fusion: also generate AUDIO-payload near-dup edges
+    # (occupancy-fingerprint buckets -> PCM-SNR verify) and union them
+    # into the cluster graph. Off by default: requires the bytes column.
+    include_audio_pass: bool = False
+    audio_min_snr_db: float = 30.0
 
 
 def build_stages(
@@ -117,22 +122,35 @@ def build_stages(
             winnow_window=cfg.winnow_window,
         )
 
+    def stage_audio_pairs(spark: SparkSession) -> DataFrame:
+        # the ONLY stage that reads the audio payload
+        from cc_net_spark.multimodal.audio import audio_near_dup_pairs
+
+        clips = spark.read.parquet(clips_path).select(idc, "codec", "bytes")
+        return audio_near_dup_pairs(
+            clips, idc, bucket_cap=cfg.bucket_cap, min_snr_db=cfg.audio_min_snr_db
+        ).select("id_a", "id_b")
+
     def stage_edges(
         spark: SparkSession,
         exact_pairs: DataFrame,
         minhash_pairs: DataFrame,
         simhash_pairs: DataFrame,
         substring_pairs: DataFrame,
+        audio_pairs: DataFrame | None = None,
     ) -> DataFrame:
         def tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select("id_a", "id_b", F.lit(kind).alias("kind"))
 
-        return (
+        edges = (
             tag(exact_pairs, "exact")
             .unionByName(tag(minhash_pairs, "minhash"))
             .unionByName(tag(simhash_pairs, "simhash"))
             .unionByName(tag(substring_pairs, "substring"))
         )
+        if audio_pairs is not None:
+            edges = edges.unionByName(tag(audio_pairs, "audio"))
+        return edges
 
     def stage_clusters(spark: SparkSession, edges: DataFrame) -> DataFrame:
         # the edges stage manifest already knows its row count (an upper
@@ -164,12 +182,15 @@ def build_stages(
         def tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select("id_a", "id_b", F.lit(kind).alias("kind"))
 
-        return (
+        edges = (
             tag(stage_minhash_pairs(spark, signatures), "minhash")
             .unionByName(tag(stage_simhash_pairs(spark, signatures), "simhash"))
             .unionByName(tag(stage_exact_pairs(spark), "exact"))
             .unionByName(tag(stage_substring_pairs(spark), "substring"))
         )
+        if cfg.include_audio_pass:
+            edges = edges.unionByName(tag(stage_audio_pairs(spark), "audio"))
+        return edges
 
     metrics_fn = dup_ratio if cfg.collect_metrics else None
     ext = [clips_path]
@@ -193,6 +214,15 @@ def build_stages(
                 metrics_fn=metrics_fn,
             ),
         ]
+    audio_stages = (
+        [Stage("audio_pairs", stage_audio_pairs, external_inputs=ext)]
+        if cfg.include_audio_pass
+        else []
+    )
+    edge_inputs = [
+        "exact_pairs", "minhash_pairs", "simhash_pairs", "substring_pairs",
+        *(["audio_pairs"] if cfg.include_audio_pass else []),
+    ]
     return [
         *head,
         Stage("signatures", stage_signatures, external_inputs=ext),
@@ -200,11 +230,8 @@ def build_stages(
         Stage("minhash_pairs", stage_minhash_pairs, inputs=["signatures"]),
         Stage("simhash_pairs", stage_simhash_pairs, inputs=["signatures"]),
         Stage("substring_pairs", stage_substring_pairs, external_inputs=ext),
-        Stage(
-            "edges",
-            stage_edges,
-            inputs=["exact_pairs", "minhash_pairs", "simhash_pairs", "substring_pairs"],
-        ),
+        *audio_stages,
+        Stage("edges", stage_edges, inputs=edge_inputs),
         Stage(
             "clusters",
             stage_clusters,

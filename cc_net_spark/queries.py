@@ -1080,6 +1080,53 @@ SQL_CLIPS_CLUSTERS = """
 """
 
 
+def q_clips_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fusion flagship: transcript edges (MinHash + exact +
+    substring) UNIONed with audio-payload edges (occupancy fingerprints +
+    SNR verify) -> connected components. The audio pass independently
+    finds every intra-cluster pair, and its SNR verify rejects unrelated
+    collisions, so the fused graph yields exactly the planted clusters
+    (same index-math oracle as the text-only query)."""
+    from cc_net_spark.multimodal.audio import audio_near_dup_pairs
+    from cc_net_spark.operators import exact_dedup as ed
+    from cc_net_spark.operators import minhash as mh
+    from cc_net_spark.operators import substring as ss
+    from cc_net_spark.operators.connected_components import (
+        assign_clusters,
+        connected_components,
+    )
+    from cc_net_spark.operators.pairs import candidate_pairs
+    from cc_net_spark.sources import synth
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    n = (
+        max(160, min(2048, n_docs))
+        // synth.ROLES_PER_GROUP
+        * synth.ROLES_PER_GROUP
+    )
+    clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
+    texts = clips.select("clip_id", "transcript")
+    sig = mh.shingle_signatures(texts, "transcript", "clip_id", num_perm=128)
+    mh_pairs = mh.verify_jaccard(
+        mh.minhash_candidate_pairs(sig, "clip_id"), sig, "clip_id", threshold=0.5
+    ).select("id_a", "id_b")
+    exact = candidate_pairs(
+        texts.select("clip_id", ed.dedup_hash_udf(F.col("transcript")).alias("k")),
+        ["k"],
+        "clip_id",
+        bucket_cap=200,
+    )
+    sub = ss.substring_candidate_pairs(
+        texts, "transcript", "clip_id", length=50, gram_cap=100
+    )
+    audio = audio_near_dup_pairs(
+        clips.select("clip_id", "codec", "bytes")
+    ).select("id_a", "id_b")
+    edges = mh_pairs.unionByName(exact).unionByName(sub).unionByName(audio)
+    comp = connected_components(edges)
+    return assign_clusters(clips.select("clip_id"), comp, "clip_id")
+
+
 def q_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pair audio invariants on the synthetic clips corpus: decoded-PCM
     SNR >= 30 dB + normalized transcript equality for exact pairs."""
@@ -1201,6 +1248,7 @@ def registry():
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "clips_near_dup_clusters": q_clips_near_dup_clusters,
+        "clips_multimodal_clusters": q_clips_multimodal_clusters,
         "audio_invariants": q_audio_invariants,
         "audio_near_dup": q_audio_near_dup,
         "audio_features": q_audio_features,
@@ -1242,6 +1290,7 @@ def registry():
         "ann_ivf_topk": SQL_ANN_IVF,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "clips_near_dup_clusters": SQL_CLIPS_CLUSTERS,
+        "clips_multimodal_clusters": SQL_CLIPS_CLUSTERS,
         "audio_invariants": SQL_AUDIO_INVARIANTS,
         "audio_near_dup": SQL_AUDIO_NEAR_DUP,
     }

@@ -79,6 +79,26 @@ def test_pipeline_resume_skips_completed_stages(spark, clips_path, tmp_path):
     assert got == expected
 
 
+def test_pipeline_with_audio_pass_matches_expected(spark, clips_path, tmp_path):
+    """include_audio_pass=True unions payload-level edges into the
+    cluster graph; the audio stage is the ONLY one reading bytes, and the
+    fused graph must still be exactly the planted clusters (audio SNR
+    verify admits no cross-group merges)."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, include_audio_pass=True)
+    clusters, manifests = run_near_dup_pipeline(
+        spark, clips_path, str(tmp_path / "work_audio"), cfg
+    )
+    assert "audio_pairs" in manifests
+    assert manifests["audio_pairs"]["rows"] == (N // 8) * 10
+    got = {r["clip_id"]: r["cluster_id"] for r in clusters.collect()}
+    expected = {
+        r["clip_id"]: r["cluster_id"] for r in synth.expected_clusters(spark, N).collect()
+    }
+    assert got == expected
+
+
 def test_fused_pipeline_matches_staged(spark, clips_path, tmp_path):
     """fused_pairs=True (one edges materialization) must produce the exact
     same clusters as the fully staged pipeline."""

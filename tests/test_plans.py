@@ -102,3 +102,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_meta")
+
+
+def test_partition_pruning_on_routed_output(spark, tmp_path):
+    """write_partitioned routes rows into per-key directories; a reader
+    filtering on the partition key must scan ONLY that partition
+    (PartitionFilters in the scan, not a post-scan filter)."""
+    from cc_net_spark.sources.sinks import write_partitioned
+
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang"
+    )
+    out = str(tmp_path / "routed")
+    write_partitioned(df, out, ["lang"])
+    got = spark.read.parquet(out).filter("lang = 'de'")
+    plan = plan_of(got)
+    seg = plan.split("PartitionFilters")
+    assert len(seg) > 1 and "lang" in seg[1][:200], "partition filter not pushed"
+    assert got.count() == 333
