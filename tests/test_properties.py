@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the pure kernels: invariants
+that must hold on arbitrary inputs, not just fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cc_net_spark.functions.hashing import str_hash, window_hashes, winnow
+from cc_net_spark.functions.normalize import (
+    normalize_for_dedup,
+    normalize_for_dedup_series,
+    normalize_spacing_for_tok,
+)
+from cc_net_spark.operators.minify import decode_line_ids, encode_line_ids
+
+TEXT = st.text(max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_normalize_for_dedup_idempotent(s):
+    once = normalize_for_dedup(s)
+    assert normalize_for_dedup(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(TEXT, max_size=20))
+def test_normalize_series_matches_scalar(texts):
+    import pandas as pd
+
+    got = normalize_for_dedup_series(pd.Series(texts, dtype="object")).tolist()
+    assert got == [normalize_for_dedup(t) for t in texts]
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT, st.sampled_from(["en", "de", "fr", "cs", "ro"]))
+def test_spacing_normalizer_total(s, lang):
+    # never raises, returns str, and is stable on its own output's type
+    out = normalize_spacing_for_tok(s, lang)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=65535), max_size=300))
+def test_line_ids_codec_roundtrip(ids):
+    assert decode_line_ids(encode_line_ids(ids)) == ids
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="abcdefgh ", min_size=0, max_size=300))
+def test_str_hash_never_zero_sentinel_collision_free_smoke(s):
+    # dedup treats hash 0 as a sentinel; the sha1-u64 of real strings is
+    # astronomically unlikely to be 0 — and must be deterministic
+    assert str_hash(s) == str_hash(s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh", min_size=0, max_size=120),
+    st.text(alphabet="ijklmnop", min_size=0, max_size=120),
+    st.text(alphabet="qrstuvwx", min_size=50, max_size=90),
+)
+def test_winnow_guarantee_property(prefix_a, prefix_b, shared):
+    """MOSS guarantee: a shared run of length >= L + w - 1 leaves at
+    least one common selected fingerprint in both documents."""
+    L, w = 30, 21
+    assert len(shared) >= L + w - 1
+    a = prefix_a + shared
+    b = prefix_b + shared
+    sel_a = set(winnow(window_hashes(a, L), w).tolist())
+    sel_b = set(winnow(window_hashes(b, L), w).tolist())
+    shared_hashes = set(window_hashes(shared, L).tolist())
+    assert sel_a & sel_b & shared_hashes
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=2, max_size=12, unique=True), st.integers(2, 8))
+def test_simhash_pigeonhole_bands_are_exact(sigs, k):
+    """k+1 contiguous bands: any pair within Hamming <= k MUST share at
+    least one band value (the candidate-generation exactness the
+    simhash_pairs oracle relies on)."""
+    n_bands = k + 1
+    widths = [64 // n_bands] * n_bands
+    widths[-1] += 64 - sum(widths)
+
+    def bands(x):
+        out, start = [], 0
+        ux = x & ((1 << 64) - 1)
+        for i, wd in enumerate(widths):
+            out.append((i, (ux >> start) & ((1 << wd) - 1)))
+            start += wd
+        return set(out)
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            if ham(a, b) <= k:
+                assert bands(a) & bands(b), (a, b, k)
