@@ -30,9 +30,12 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", "20000"))
-# the scaling corpus is larger so per-core compute dominates fixed
-# per-round costs (the honest strong-scaling regime for a 100 TB design)
-N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "120000"))
+# the scaling corpus is large enough to amortize the ~12 s fixed cost;
+# measured at both 60k and 120k the efficiency is the same (the
+# data-proportional bandwidth-flat component makes it corpus-size
+# invariant — BENCH/BASELINE.md), so the default keeps total bench
+# wall-clock bounded
+N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "60000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 # each scaling leg is measured this many times, legs interleaved
 # (lo,hi,lo,hi) so this VM's minute-scale CPU throttling can't land on

@@ -47,6 +47,18 @@ def decode_line_ids(compact: str) -> list[int]:
     return np.frombuffer(base64.b64decode(compact), dtype="<u2").astype("int32").tolist()
 
 
+def encode_hashes(hashes: list[bytes]) -> str:
+    """base64 of concatenated 8-byte sha1-prefix hashes
+    (``cc_net/minify.py:43-44``) — the wire format of hash dumps."""
+    return base64.b64encode(b"".join(h[:8] for h in hashes)).decode("ascii")
+
+
+def decode_hashes(compact: str) -> list[bytes]:
+    raw = base64.b64decode(compact)
+    assert len(raw) % 8 == 0, "hash blob not a multiple of HASH_SIZE"
+    return [raw[i : i + 8] for i in range(0, len(raw), 8)]
+
+
 def doc_key(digest: str) -> int:
     """4..8-byte join key from a CC ``sha1:BASE32`` digest
     (``cc_net/minify.py:73-75``): b32decode, first 8 bytes as LE u64 —

@@ -158,6 +158,14 @@ def test_minify_wire_compat_roundtrip(spark):
     digest = "sha1:" + b64.b32encode(hashlib.sha1(s.encode()).digest()).decode()
     assert doc_key(digest) == str_hash(s)
 
+    # hash-dump codec (cc_net/minify.py:43-58): base64 of 8-byte prefixes
+    from cc_net_spark.operators.minify import decode_hashes, encode_hashes
+
+    hs = [hashlib.sha1(f"line {i}".encode()).digest() for i in range(5)]
+    enc = encode_hashes(hs)
+    assert enc == b64.b64encode(b"".join(h[:8] for h in hs)).decode()
+    assert decode_hashes(enc) == [h[:8] for h in hs]
+
     docs = spark.createDataFrame(
         [(1, "a\nb\na"), (2, "c\nd")], "doc_id long, raw_content string"
     )

@@ -18,9 +18,14 @@ TEXT = st.text(max_size=200)
 
 @settings(max_examples=200, deadline=None)
 @given(TEXT)
-def test_normalize_for_dedup_idempotent(s):
-    once = normalize_for_dedup(s)
-    assert normalize_for_dedup(once) == once
+def test_normalize_for_dedup_eventually_idempotent(s):
+    # NB not idempotent from the FIRST application: the reference strips
+    # whitespace BEFORE removing control chars, so "0 \x1b" -> "0 "
+    # (the control char shielded the trailing space). Byte parity keeps
+    # that quirk; the invariant is idempotence from the second
+    # application on.
+    twice = normalize_for_dedup(normalize_for_dedup(s))
+    assert normalize_for_dedup(twice) == twice
 
 
 @settings(max_examples=100, deadline=None)
