@@ -259,6 +259,11 @@ def run_scaling(tmp: str) -> dict:
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            if proc.returncode != 0 or not proc.stdout.strip():
+                raise RuntimeError(
+                    f"scaling leg cores={cores} failed (rc={proc.returncode}): "
+                    + proc.stderr[-2000:]
+                )
             legs[cores].append(json.loads(proc.stdout.strip().splitlines()[-1]))
     scaling: dict = {}
     best: dict[int, dict] = {}

@@ -178,8 +178,10 @@ def _split_with_package(lines: DataFrame, id_col: str) -> DataFrame:
                 {id_col: ids, "line_id": lids, "sent_id": sids, "sentence": sents}
             )
 
+    # preserve the caller's id type (string clip ids, long doc ids, ...)
+    id_type = dict(lines.dtypes)[id_col]
     return lines.mapInPandas(
-        split, schema=f"{id_col} long, line_id int, sent_id int, sentence string"
+        split, schema=f"{id_col} {id_type}, line_id int, sent_id int, sentence string"
     )
 
 

@@ -259,7 +259,8 @@ def ivf_assign(
             out_ids = np.repeat(pdf[id_col].to_numpy(), p)
             yield pd.DataFrame({id_col: out_ids, "cell": top.ravel().astype(np.int32)})
 
-    return src.mapInPandas(assign, schema=f"{id_col} long, cell int")
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInPandas(assign, schema=f"{id_col} {id_type}, cell int")
 
 
 def ivf_topk(

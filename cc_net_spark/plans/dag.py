@@ -45,6 +45,25 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _footer_stats_digest(md) -> str:
+    """Digest of the footer's per-column row-group statistics (null
+    counts, min/max) — makes the fingerprint sensitive to VALUE changes
+    even when row counts and byte sizes happen to coincide, still with
+    zero data reads."""
+    h = hashlib.sha256()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            h.update(str(col.path_in_schema).encode())
+            st = col.statistics
+            if st is not None:
+                h.update(
+                    repr((st.null_count, st.min, st.max, st.num_values)).encode()
+                )
+    return h.hexdigest()[:16]
+
+
 def _scan_parquet_dir(path: Path) -> tuple[int, list[dict]]:
     """(total_rows, per-file partition records) from Parquet footers only —
     metadata reads, no Spark job, no data IO."""
@@ -53,20 +72,31 @@ def _scan_parquet_dir(path: Path) -> tuple[int, list[dict]]:
     parts: list[dict] = []
     total = 0
     for f in sorted(path.glob("*.parquet")):
-        nr = pq.ParquetFile(f).metadata.num_rows
-        parts.append({"file": f.name, "rows": nr, "bytes": f.stat().st_size})
-        total += nr
+        md = pq.ParquetFile(f).metadata
+        parts.append(
+            {
+                "file": f.name,
+                "rows": md.num_rows,
+                "bytes": f.stat().st_size,
+                "stats": _footer_stats_digest(md),
+            }
+        )
+        total += md.num_rows
     return total, parts
 
 
 def fingerprint_listing(parts: list[dict]) -> str:
     """Content-addressed fingerprint of a file listing.
 
-    Spark part-file NAMES embed a per-run UUID, so only shape-stable
-    attributes participate: the multiset of per-file (rows, bytes).
-    Identical output data laid out identically => identical fingerprint.
+    Spark part-file NAMES embed a per-run UUID, so only content-stable
+    attributes participate: the multiset of per-file (rows, bytes,
+    footer-statistics digest). Identical output data laid out identically
+    => identical fingerprint; changed values surface through the column
+    min/max/null statistics even at identical shape. (Stage CODE changes
+    are still invisible to lineage — resume after editing a stage's logic
+    requires force=True, as documented.)
     """
-    shape = sorted((p["rows"], p["bytes"]) for p in parts)
+    shape = sorted((p["rows"], p["bytes"], p.get("stats", "")) for p in parts)
     blob = json.dumps(shape).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -848,8 +848,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-canonicalize numerically to match the SQL oracle's a < b
     a = F.col("id_a").cast("long")
     b = F.col("id_b").cast("long")
+    # round like the oracle does — the driver's value hash is exact, and
+    # the local replica's 6dp canonicalization would mask a mismatch
     return mh.verify_jaccard(cand, sig, "doc_id", threshold=0.2).select(
-        F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b"), "jaccard"
+        F.least(a, b).alias("doc_a"),
+        F.greatest(a, b).alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 

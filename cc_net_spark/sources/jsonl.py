@@ -44,12 +44,14 @@ def read_jsonl(
 ) -> tuple[DataFrame, DataFrame]:
     """Lenient JSONL read -> (clean_df, metrics_df with n_lines/n_corrupt).
 
-    ONE parse of the input: PERMISSIVE mode keeps malformed lines as rows
-    with ``_corrupt_record`` set, the parsed frame is cached, metrics come
-    from a single aggregation over it and the clean rows are the
-    corrupt-null filter of the same cache. (Round 1 scanned the input
-    twice — text count + DROPMALFORMED count — wasteful at 100 TB; at
-    that scale swap the cache for ``observe()`` on the downstream write.)
+    ONE parse definition: PERMISSIVE mode keeps malformed lines as rows
+    with ``_corrupt_record`` set; metrics come from one aggregation over
+    it and the clean rows are the corrupt-null filter of the same frame.
+    (Round 1 parsed the input through TWO different readers — text count
+    + DROPMALFORMED count.) The frame is deliberately NOT cached: pinning
+    a 100 TB parse in executor memory for the application lifetime is
+    worse than the consumer's one extra scan; for a true single scan at
+    scale, attach ``observe()`` metrics to the downstream write instead.
     """
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", _CORRUPT
@@ -63,11 +65,17 @@ def read_jsonl(
     if _CORRUPT not in raw.columns:  # inferred schema, zero corrupt lines
         n = raw.count()
         return raw, spark.createDataFrame([(n, 0)], "n_lines long, n_corrupt long")
+    # Spark disallows referencing ONLY _corrupt_record on an uncached raw
+    # JSON scan — cache just for the metrics aggregation, then release
+    # (never pin a 100 TB parse for the application lifetime)
     raw = raw.cache()
-    row = raw.agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col(_CORRUPT).isNotNull().cast("long")).alias("n_corrupt"),
-    ).collect()[0]
+    try:
+        row = raw.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col(_CORRUPT).isNotNull().cast("long")).alias("n_corrupt"),
+        ).collect()[0]
+    finally:
+        raw.unpersist()
     metrics = spark.createDataFrame(
         [(row["n_lines"], row["n_corrupt"] or 0)], "n_lines long, n_corrupt long"
     )

@@ -71,12 +71,18 @@ def regroup_by_size(
     import math
     from pathlib import Path
 
-    total = sum(f.stat().st_size for f in Path(src_path).rglob("*") if f.is_file())
+    # DATA bytes only: commit sidecars (_SUCCESS, .crc, _metadata) must
+    # not inflate the bin-packing estimate
+    total = sum(
+        f.stat().st_size
+        for f in Path(src_path).rglob("*")
+        if f.is_file() and not f.name.startswith(("_", ".")) and not f.name.endswith(".crc")
+    )
     n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.format(fmt).load(src_path)
-    # repartition (not coalesce) when growing the file count; coalesce when
-    # shrinking — avoids skewed merged partitions on the shrink path too,
-    # since parquet input splits are size-balanced
-    writer = df.coalesce(n_files) if n_files <= df.rdd.getNumPartitions() else df.repartition(n_files)
+    # coalesce when shrinking the file count (no shuffle; parquet input
+    # splits are size-balanced), repartition when growing
+    n_input = len(df.inputFiles())
+    writer = df.coalesce(n_files) if n_files <= n_input else df.repartition(n_files)
     writer.write.mode("overwrite").format(fmt).save(dst_path)
     return n_files

@@ -79,6 +79,7 @@ class IncrementalDeduper:
             (F.count(F.lit(1)) >= 2).alias("dup_within")
         )
 
+        batch_hashes = batch_hashes.localCheckpoint()
         history = self._history(spark, batch_id)
         if history is not None:
             seen_before = history.select("hash").distinct()
@@ -97,9 +98,13 @@ class IncrementalDeduper:
         flagged = flagged.localCheckpoint()
 
         # 1) append THIS batch's hashes only (dynamic overwrite of its own
-        #    partition => replay-safe, write volume ∝ batch)
+        #    partition => replay-safe, write volume ∝ batch). The stored
+        #    dup_within is the batch-LOCAL flag — the history-aware is_dup
+        #    is derived at probe time, never persisted (a cross-batch dup
+        #    must not masquerade as a within-batch one for compaction or
+        #    any other consumer of the table)
         (
-            flagged.select("hash", F.col("is_dup").alias("dup_within"))
+            batch_hashes
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -73,6 +73,14 @@ def sessionize_stream(
     per CLOSED session (closed by a later event past the gap, or by
     state timeout once the watermark passes).
 
+    Guarantee: exact parity with the batch ``sessionize`` whenever each
+    user's events arrive in event-time order across micro-batches (any
+    within-batch disorder is sorted out). A LATE event (older than the
+    user's current session end but inside the watermark) merges into the
+    open session — state keeps only aggregates, so re-splitting history
+    would require buffering raw events until the watermark; the bounded
+    approximation never corrupts the session span.
+
     Returns the transformed streaming DataFrame (caller starts the query).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -126,6 +134,16 @@ def sessionize_stream(
             order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
             for i in order:
                 t_us, v = ts_list[i], vals[i]
+                if n and t_us <= last_us:
+                    # late event (prior micro-batch advanced last_us, the
+                    # watermark still admits this ts): merge into the open
+                    # session without rewinding its end — rewinding would
+                    # corrupt the span and trigger false gap splits on the
+                    # next in-order event
+                    start_us = min(start_us, t_us)
+                    n += 1
+                    sv += v
+                    continue
                 if n and t_us - last_us > gap_us:
                     rows.append((user, start_us, last_us, n, sv))
                     start_us, n, sv = t_us, 0, 0.0

@@ -74,6 +74,52 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert not any(u == 99 for u, *_ in got)
 
 
+def test_streaming_sessionize_late_event_merges_without_corruption(spark, tmp_path):
+    """A late event (older than the open session's end, inside the
+    watermark) must merge into the session WITHOUT rewinding its end —
+    the following in-order event must not see a false gap split."""
+    import os
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01 10:10:00", "user_id": 1, "value": 1.0},
+    ]
+    b1 = [  # late 10:00 (inside 2h watermark) + in-order 10:35
+        {"event_id": 2, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 10:35:00", "user_id": 1, "value": 4.0},
+    ]
+    b2 = [  # far-future row closes user 1's session via timeout
+        {"event_id": 9, "ts": "2024-01-03 00:00:00", "user_id": 99, "value": 0.0},
+    ]
+    for i, batch in enumerate((b0, b1, b2)):
+        f = inp / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(f, (1_700_000_000 + i * 100,) * 2)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(inp))
+    )
+    out = sessionize_stream(stream, gap_minutes=30.0, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    # ONE session: 10:00-10:35 with all three events (10:10 and 10:35 are
+    # 25 min apart — a rewound last_us would have split them)
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:35:00", 3, 7.0) in got
+    assert len([g for g in got if g[0] == 1]) == 1
+
+
 def test_windowed_stream_drops_late_rows(spark, tmp_path):
     """Watermark semantics: a row arriving after the watermark passed its
     window is dropped; finalized windows are emitted exactly once."""
