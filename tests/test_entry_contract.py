@@ -26,15 +26,22 @@ def ddb():
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """dtype-insensitive canonicalization. Floats are NOT rounded here:
+    the real driver hashes exact values, so queries must round Spark-side
+    to match their oracle — a replica that rounds both sides would mask
+    exactly that class of bug (it did, round 2). Rows sort by non-float
+    columns first so float ulp noise cannot scramble the order."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(6)
+            df[c] = df[c].astype("float64")
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    sort_cols = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    sort_cols += [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    return df.sort_values(by=sort_cols).reset_index(drop=True)
 
 
 ORACLED = sorted(entrymod.oracle_sql())
