@@ -251,22 +251,40 @@ def audio_near_dup_pairs(
     bands: int = 16,
     bucket_cap: int = 200,
     min_snr_db: float = 30.0,
-) -> DataFrame:
+    with_metrics: bool = False,
+):
     """Near-duplicate clip pairs by AUDIO CONTENT (payload, not
     transcript): occupancy-fingerprint buckets (skew-capped, the same
     candidate machinery as the text passes) -> EXACT decoded-PCM SNR
     verification. Pairs of the same underlying signal pass the >= 30 dB
     floor; unrelated clips that share a coarse occupancy pattern score
-    ~0 dB and are rejected. Returns (id_a, id_b, snr_db)."""
+    ~0 dB and are rejected. Returns (id_a, id_b, snr_db).
+
+    16-bit occupancy words concentrate on few values over stationary
+    tonal/speech content, so at corpus scale hot words WILL hit the cap;
+    ``with_metrics=True`` returns ``(pairs, PairGenMetrics)`` so callers
+    (the pipeline stage manifest) record exactly how many buckets/rows the
+    cap dropped — the repo's no-silent-truncation rule. The fingerprint
+    table is cached for the metrics pass so the audio payload is still
+    decoded only once."""
     from cc_net_spark.operators.pairs import candidate_pairs
 
     fp = audio_fingerprints(clips, id_col, frame=frame, bands=bands)
-    cand = candidate_pairs(fp, ["word"], id_col, bucket_cap=bucket_cap)
+    if with_metrics:
+        # cache: the metrics aggregation is a second action over fp and
+        # must not re-decode every clip
+        fp = fp.persist()
+        cand, metrics = candidate_pairs(
+            fp, ["word"], id_col, bucket_cap=bucket_cap, with_metrics=True
+        )
+    else:
+        cand = candidate_pairs(fp, ["word"], id_col, bucket_cap=bucket_cap)
     verified = pair_audio_invariants(cand, clips, id_col, min_snr_db=min_snr_db)
-    return (
+    pairs = (
         verified.filter(F.col("pcm_ok"))
         .select("id_a", "id_b", F.round("snr_db", 3).alias("snr_db"))
     )
+    return (pairs, metrics) if with_metrics else pairs
 
 
 # ---------------------------------------------------------------------------
@@ -299,7 +317,10 @@ def frame_sample(
                     continue
                 frames = pcm[: n_frames * frame].reshape(n_frames, frame)
                 sel = np.arange(0, n_frames, every)
-                vals = np.sqrt((frames[sel] ** 2).mean(axis=1))
+                # float64: the RMS is rounded to 6dp and compared against a
+                # double-precision SQL oracle — float32 accumulation would
+                # wobble the 6th decimal
+                vals = np.sqrt((frames[sel].astype(np.float64) ** 2).mean(axis=1))
                 ids.extend([cid] * len(sel))
                 idxs.extend(sel.tolist())
                 rms.extend(vals.tolist())
@@ -326,7 +347,11 @@ def audio_features(
                 except NotImplementedError:
                     rms.append(None), zc.append(None), cent.append(None)
                     continue
-                rms.append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+                rms.append(
+                    float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                    if len(pcm)
+                    else 0.0
+                )
                 zc.append(int(np.count_nonzero(np.diff(np.signbit(pcm)))))
                 if len(pcm) >= frame:
                     spec = np.abs(np.fft.rfft(pcm[: len(pcm) // frame * frame].reshape(-1, frame), axis=1))

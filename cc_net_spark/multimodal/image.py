@@ -114,6 +114,197 @@ def image_features(images: DataFrame, id_col: str = "img_id") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection over the pixel payload — the
+# image-axis analogue of the audio occupancy-fingerprint pass
+# (multimodal/audio.py): dHash buckets -> capped candidate join -> exact
+# pixel-PSNR verification.
+# ---------------------------------------------------------------------------
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash, Krawetz 2013 — public algorithm):
+    resize luma to 9x8 (nearest), bit (r, c) = luma[r, c+1] > luma[r, c].
+    Robust to small per-pixel noise whenever adjacent sample contrasts
+    exceed the noise floor; never the verdict — candidates are verified by
+    exact pixel PSNR."""
+    small = resize_nearest(img, 9, 8).astype(np.float64)
+    luma = small @ np.array([0.299, 0.587, 0.114])
+    bits = (luma[:, 1:] > luma[:, :-1]).ravel()
+    weights = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+    return int((bits.astype(np.uint64) * weights).sum().astype(np.int64))
+
+
+def image_fingerprints(images: DataFrame, id_col: str = "img_id") -> DataFrame:
+    """(id, dhash long) — one Arrow-batched decode pass; stub codecs skip."""
+    src = images.select(id_col, "bytes", "width", "height", "codec")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for r in pdf.itertuples(index=False):
+                try:
+                    img = decode_image(r.codec, bytes(r.bytes), r.width, r.height)
+                except NotImplementedError:
+                    continue
+                ids.append(getattr(r, id_col))
+                hs.append(dhash64(img))
+            yield pd.DataFrame({id_col: ids, "dhash": pd.Series(hs, dtype="int64")})
+
+    return src.mapInPandas(compute, schema=f"{id_col} string, dhash long")
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio between two uint8 images, in dB."""
+    if a.shape != b.shape:
+        return float("-inf")
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def pair_image_psnr(
+    pairs: DataFrame, images: DataFrame, id_col: str = "img_id"
+) -> DataFrame:
+    """(id_a, id_b, psnr_db double) — exact pixel verification for
+    candidate pairs (tiny input); dimension mismatch => -inf (rejected)."""
+    side = images.select(id_col, "bytes", "width", "height", "codec")
+    a = side.select(
+        F.col(id_col).alias("id_a"), F.col("bytes").alias("_ba"),
+        F.col("width").alias("_wa"), F.col("height").alias("_ha"),
+        F.col("codec").alias("_ca"),
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"), F.col("bytes").alias("_bb"),
+        F.col("width").alias("_wb"), F.col("height").alias("_hb"),
+        F.col("codec").alias("_cb"),
+    )
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.full(len(pdf), -np.inf)
+            # zip, not itertuples: pandas mangles underscore-prefixed names
+            cols = zip(
+                pdf["_ca"], pdf["_ba"], pdf["_wa"], pdf["_ha"],
+                pdf["_cb"], pdf["_bb"], pdf["_wb"], pdf["_hb"],
+            )
+            for i, (ca, ba, wa, ha, cb, bb, wb, hb) in enumerate(cols):
+                try:
+                    ia = decode_image(ca, bytes(ba), wa, ha)
+                    ib = decode_image(cb, bytes(bb), wb, hb)
+                except NotImplementedError:
+                    continue
+                out[i] = psnr_db(ia, ib)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "psnr_db": np.where(np.isfinite(out), out, 1e9 * np.sign(out)),
+                }
+            )
+
+    return joined.mapInPandas(
+        compute, schema="id_a string, id_b string, psnr_db double"
+    )
+
+
+def image_near_dup_pairs(
+    images: DataFrame,
+    id_col: str = "img_id",
+    *,
+    bucket_cap: int = 200,
+    min_psnr_db: float = 30.0,
+    with_metrics: bool = False,
+):
+    """Near-duplicate image pairs by PIXEL CONTENT: dHash buckets
+    (skew-capped, the shared candidate machinery) -> exact pixel PSNR
+    >= threshold. Mirrors ``audio_near_dup_pairs``; with_metrics=True
+    returns (pairs, PairGenMetrics) for the no-silent-truncation rule."""
+    from cc_net_spark.operators.pairs import candidate_pairs
+
+    fp = image_fingerprints(images, id_col)
+    if with_metrics:
+        fp = fp.persist()
+        cand, metrics = candidate_pairs(
+            fp, ["dhash"], id_col, bucket_cap=bucket_cap, with_metrics=True
+        )
+    else:
+        cand = candidate_pairs(fp, ["dhash"], id_col, bucket_cap=bucket_cap)
+    verified = pair_image_psnr(cand, images, id_col)
+    pairs = verified.filter(F.col("psnr_db") >= min_psnr_db).select(
+        "id_a", "id_b", F.round("psnr_db", 3).alias("psnr_db")
+    )
+    return (pairs, metrics) if with_metrics else pairs
+
+
+# roles per group in the planted image corpus: 0 base, 1 noisy near-dup,
+# 2 unrelated, 3 jpeg stub (skip-path probe)
+IMG_ROLES_PER_GROUP = 4
+
+
+def generate_image_corpus(
+    spark, n_rows: int, *, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic planted near-dup image corpus (index-math oracle).
+
+    Group g owns ids [4g, 4g+4): role 0 is a block-structured base image,
+    role 1 the same image + per-pixel noise in [-2, 2] (a true near-dup:
+    PSNR ~45 dB, identical dHash), roles 2..3 unrelated (role 3 a jpeg
+    stub). Expected near-dup pairs: exactly (4g, 4g+1).
+
+    dHash stability by construction: the image is an 8-row x 9-col block
+    grid whose width/height are multiples of 9/8, so the 9x8 nearest
+    resize samples exactly one pixel per block; horizontally adjacent
+    blocks differ by +-12 gray levels (a seeded random walk), far above
+    the +-2 noise — every dHash bit is noise-invariant. Unrelated images
+    use independent walks: their dHashes collide with probability ~2^-64
+    and the PSNR verify would reject them anyway."""
+    partitions = partitions or max(4, n_rows // 4096)
+    base = spark.range(0, n_rows, 1, partitions)
+
+    def _block_image(g: int) -> np.ndarray:
+        rng = np.random.default_rng([seed, 12321, g])
+        bw, bh = int(rng.integers(2, 4)), int(rng.integers(2, 4))  # block px
+        w, h = 9 * bw, 8 * bh
+        steps = rng.choice([-12, 12], size=(8, 8))
+        vals = np.empty((8, 9), dtype=np.float64)
+        vals[:, 0] = 128.0
+        for c in range(8):
+            vals[:, c + 1] = vals[:, c] + steps[:, c]
+        vals = np.clip(vals, 8, 247)
+        gray = np.repeat(np.repeat(vals, bh, axis=0), bw, axis=1)
+        return np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                g, r = divmod(i, IMG_ROLES_PER_GROUP)
+                if r == 3:
+                    rows.append((f"img-{i:06d}", b"\xff\xd8stub", 9, 8, "jpeg"))
+                    continue
+                key = g if r <= 1 else 1_000_000 + i
+                img = _block_image(key)
+                if r == 1:
+                    rng = np.random.default_rng([seed, 888, i])
+                    noise = rng.integers(-2, 3, size=img.shape)
+                    img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(
+                        np.uint8
+                    )
+                h, w = img.shape[:2]
+                rows.append((f"img-{i:06d}", encode_rgb8(img), w, h, "rgb8_raw"))
+            yield pd.DataFrame(
+                rows, columns=["img_id", "bytes", "width", "height", "codec"]
+            )
+
+    return base.mapInPandas(
+        gen, schema="img_id string, bytes binary, width int, height int, codec string"
+    )
+
+
 def generate_images(
     spark, n_rows: int, *, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:

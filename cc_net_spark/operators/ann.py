@@ -209,12 +209,27 @@ def kmeans_centroids(
     sample: int = 4096,
     iters: int = 10,
     seed: int = 7,
+    corpus_rows: int | None = None,
 ) -> np.ndarray:
     """Deterministic coarse quantizer for IVF: numpy Lloyd iterations over
-    a deterministic sample (first ``sample`` rows by id). The sample is
-    driver-side by design — the quantizer trains on a bounded subset, the
-    assignment pass below is fully distributed."""
-    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    a deterministic DISTRIBUTED hash-sample. ``pmod(xxhash64(id), m) == 0``
+    with m sized from the corpus row count selects ~``sample`` rows with a
+    filter that pushes into the scan — no global TakeOrdered over the full
+    corpus (the round-2 shape, a per-training global top-k at 100x).
+    The driver-side sort of the ~sample collected rows keeps the result
+    independent of partitioning. Pass ``corpus_rows`` (e.g. from a Parquet
+    footer read) to skip the sizing count(). The quantizer trains on a
+    bounded subset by design — the assignment pass below is fully
+    distributed."""
+    n = corpus_rows if corpus_rows is not None else df.count()
+    modulus = max(1, n // max(1, sample))
+    picked = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0)
+        .select(id_col, vec_col)
+        .limit(8 * sample)  # safety valve; expected matches ~= sample
+        .collect()
+    )
+    rows = sorted(picked, key=lambda r: r[id_col])[:sample]
     m = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     m = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
     rng = np.random.default_rng(seed)
@@ -333,9 +348,21 @@ def lsh_topk(
     n_bits: int = 16,
     bands: int = 4,
     seed: int = 7,
+    hot_threshold: int = 200,
 ) -> DataFrame:
     """All-pairs LSH search: candidates = same band value; rerank by exact
-    cosine; top-k per vector. Recall < 1 by design (bucketing)."""
+    cosine; top-k per vector. Recall < 1 by design (bucketing).
+
+    Skew defense: a degenerate hyperplane bucket (many near-zero or
+    duplicated embeddings landing on one band key) is a quadratic blow-up
+    under a raw self-join. Top-k search cannot tolerate the recall loss of
+    a size CAP, so candidates come from the salted full-recall pair
+    generator (``salted_candidate_pairs``): buckets above
+    ``hot_threshold`` are tiled across a salt grid — the exact same
+    candidate set, with the quadratic work spread over ~n_salts^2/2 tasks
+    instead of one straggler."""
+    from cc_net_spark.operators.pairs import salted_candidate_pairs
+
     sigs = hyperplane_signatures(
         df, id_col=id_col, vec_col=vec_col, dim=dim, n_bits=n_bits, seed=seed
     )
@@ -354,13 +381,18 @@ def lsh_topk(
     bucketed = sigs.select(id_col, F.explode(band_structs).alias("_b")).select(
         id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
     )
-    left = bucketed.select("band", "key", F.col(id_col).alias("query_id"))
-    right = bucketed.select("band", "key", F.col(id_col).alias("neighbor_id"))
-    cand = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    # undirected co-bucket pairs (salted, full recall), mirrored into the
+    # directed candidate set the top-k rerank needs — identical to the raw
+    # self-join's output, without its single-task quadratic bucket risk
+    upairs = salted_candidate_pairs(
+        bucketed, ["band", "key"], id_col, hot_threshold=hot_threshold
+    )
+    cand = upairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+    ).unionByName(
+        upairs.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id")
+        )
     )
     vecs = df.select(
         F.col(id_col),

@@ -47,25 +47,42 @@ def decode_line_ids(compact: str) -> list[int]:
     return np.frombuffer(base64.b64decode(compact), dtype="<u2").astype("int32").tolist()
 
 
-def encode_hashes(hashes: list[bytes]) -> str:
-    """base64 of concatenated 8-byte sha1-prefix hashes
-    (``cc_net/minify.py:43-44``) — the wire format of hash dumps."""
-    return base64.b64encode(b"".join(h[:8] for h in hashes)).decode("ascii")
+# The reference's minify wire format uses 4-byte (uint32) sha1 prefixes
+# (HASH_SIZE=4, ``cc_net/minify.py:20-21,38-58``); the engine's own dedup
+# hash columns are 8-byte sha1-u64 (``cc_net/dedup.py`` parity). Both
+# widths are supported: hash_size=4 reads/writes reference-produced dumps
+# byte-for-byte, hash_size=8 round-trips internal hash columns.
+REFERENCE_HASH_SIZE = 4
+INTERNAL_HASH_SIZE = 8
 
 
-def decode_hashes(compact: str) -> list[bytes]:
+def encode_hashes(hashes: list[bytes], hash_size: int = REFERENCE_HASH_SIZE) -> str:
+    """base64 of concatenated ``hash_size``-byte sha1-prefix hashes
+    (``cc_net/minify.py:43-44``; the reference writes 4-byte prefixes)."""
+    return base64.b64encode(b"".join(h[:hash_size] for h in hashes)).decode("ascii")
+
+
+def decode_hashes(compact: str, hash_size: int = REFERENCE_HASH_SIZE) -> list[bytes]:
+    """Inverse codec (``cc_net/minify.py:51-58``). hash_size must match the
+    encoder's: 4 for reference-produced dumps, 8 for internal dumps."""
     raw = base64.b64decode(compact)
-    assert len(raw) % 8 == 0, "hash blob not a multiple of HASH_SIZE"
-    return [raw[i : i + 8] for i in range(0, len(raw), 8)]
+    assert len(raw) % hash_size == 0, "hash blob not a multiple of hash_size"
+    return [raw[i : i + hash_size] for i in range(0, len(raw), hash_size)]
 
 
-def doc_key(digest: str) -> int:
-    """4..8-byte join key from a CC ``sha1:BASE32`` digest
-    (``cc_net/minify.py:73-75``): b32decode, first 8 bytes as LE u64 —
-    the same formula as the dedup hash, so reference-minified metadata
-    joins directly against our hash columns (carried as signed int64)."""
+def doc_key(digest: str, hash_size: int = INTERNAL_HASH_SIZE) -> int:
+    """Join key from a CC ``sha1:BASE32`` digest (``cc_net/minify.py:72-75``):
+    b32decode, first ``hash_size`` bytes as a little-endian unsigned int.
+
+    hash_size=8 (default) yields the SAME formula as this engine's dedup
+    hash (sha1[:8] LE-u64, carried as signed int64), so digests join
+    directly against internal hash columns. hash_size=4 reproduces the
+    reference's ``get_doc_key`` (uint32) exactly, for joining against
+    reference-minified metadata."""
     assert digest.startswith("sha1:"), digest
     raw = base64.b32decode(digest[5:])
+    if hash_size == 4:
+        return int(np.frombuffer(raw[:4], dtype="<u4")[0])
     return int(np.frombuffer(raw[:8], dtype="<u8").view("<i8")[0])
 
 

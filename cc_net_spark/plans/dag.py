@@ -71,7 +71,10 @@ def _scan_parquet_dir(path: Path) -> tuple[int, list[dict]]:
 
     parts: list[dict] = []
     total = 0
-    for f in sorted(path.glob("*.parquet")):
+    # rglob: a stage written with partitionBy() nests its files under
+    # key=value directories — a top-level-only glob would commit rows=0
+    # and an empty fingerprint, silently corrupting downstream skips
+    for f in sorted(path.rglob("*.parquet")):
         md = pq.ParquetFile(f).metadata
         parts.append(
             {
@@ -82,6 +85,11 @@ def _scan_parquet_dir(path: Path) -> tuple[int, list[dict]]:
             }
         )
         total += md.num_rows
+    if not parts:
+        raise RuntimeError(
+            f"stage output {path} contains no parquet files — refusing to "
+            "commit an empty-listing manifest"
+        )
     return total, parts
 
 
@@ -120,7 +128,11 @@ def fingerprint_external(path: str | Path) -> str:
 @dataclass
 class Stage:
     name: str
-    build: Callable[..., DataFrame]  # (spark, **input_dfs) -> DataFrame
+    # (spark, **input_dfs) -> DataFrame, or -> (DataFrame, extra_metrics):
+    # a build that computes side metrics during candidate generation (e.g.
+    # capped-bucket drop counters) returns them in the tuple and they are
+    # merged into the manifest's metrics record (no silent truncation)
+    build: Callable[..., DataFrame]
     inputs: list[str] = field(default_factory=list)
     # external (non-stage) inputs this stage reads directly, e.g. the
     # source clips table — fingerprinted into the manifest so changed
@@ -183,7 +195,12 @@ class StageRunner:
                 continue
             t0 = time.time()
             inputs = {name: self.load(name) for name in st.inputs}
-            df = st.build(self.spark, **inputs)
+            built = st.build(self.spark, **inputs)
+            build_metrics: dict = {}
+            if isinstance(built, tuple):
+                df, build_metrics = built
+            else:
+                df = built
 
             final = self.data_path(st.name)
             tmp = self.workdir / f"_tmp-{st.name}-{uuid.uuid4().hex[:8]}"
@@ -195,6 +212,7 @@ class StageRunner:
             # rows + per-partition records from footers: zero Spark jobs
             n_rows, partitions = _scan_parquet_dir(final)
             extra = st.metrics_fn(self.load(st.name)) if st.metrics_fn else {}
+            extra = {**build_metrics, **extra}
             manifest = {
                 "stage": st.name,
                 "rows": n_rows,

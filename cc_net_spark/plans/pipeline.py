@@ -2,20 +2,27 @@
 
 DAG (each stage a checkpointed Parquet/Iceberg table, resumable):
 
-  clips ─┬─> exact_hashes   (paragraph sha1-u64 groupBy — cc_net build side)
-         ├─> signatures     (MinHash sigs + shingles + SimHash, ONE narrow map)
+  clips ──> signatures  (ONE scan + ONE normalize: MinHash sigs + shingles
+         │               + SimHash + winnowed substring grams + full-text
+         │               hash, all from one narrow mapInPandas —
+         │               operators/signatures.py; round 2 paid ~4 separate
+         │               scan+normalize passes here, the measured
+         │               memory-bandwidth bottleneck)
          │      ├─> minhash_pairs   (LSH bands -> capped bucket join -> Jaccard verify)
-         │      ├─> simhash_pairs   (bit bands -> capped bucket join -> Hamming verify)
-         │      └─────────────┐
-         ├─> exact_pairs     (full-transcript normalized hash groups)
-         ├─> substring_pairs (rolling L-gram buckets -> capped join)
+         │      ├─> simhash_pairs   (bit bands -> SALTED bucket join -> Hamming verify)
+         │      ├─> exact_pairs     (full-transcript tkey buckets)
+         │      └─> substring_pairs (explode grams -> capped bucket join)
+         ├─> exact_hashes  (paragraph sha1-u64 groupBy — the cc_net build-side
+         │                  artifact; paragraph granularity, so it scans clips)
          └────────────> edges (union) -> components (alt-star CC) -> clusters
 
 Skew handling: every pair generator runs through the capped bucket join
 (``operators/pairs.py``) with drop metrics recorded in the stage manifest;
-AQE skew-join splitting covers the verification joins.
+SimHash — whose pigeonhole bands are narrow by construction, so big
+buckets are load imbalance rather than boilerplate — uses the salted
+full-recall join. AQE skew-join splitting covers the verification joins.
 
-Column pruning: the audio ``bytes`` column is touched by NO stage here —
+Column pruning: the audio ``bytes`` column is touched by NO text stage —
 all stages select explicit text/metadata columns, so Parquet never reads
 the payload (verify via ``.explain``: ReadSchema excludes ``bytes``).
 """
@@ -30,8 +37,9 @@ from pyspark.sql import functions as F
 from cc_net_spark.operators import exact_dedup as ed
 from cc_net_spark.operators import minhash as mh
 from cc_net_spark.operators import simhash as sh
-from cc_net_spark.operators import substring as ss
 from cc_net_spark.operators.connected_components import assign_clusters, connected_components
+from cc_net_spark.operators.pairs import candidate_pairs
+from cc_net_spark.operators.signatures import fused_signatures
 from cc_net_spark.plans.dag import Stage, StageRunner
 
 
@@ -82,24 +90,21 @@ def build_stages(
         return ed.build_hashes(ed.paragraph_hashes(load_clips(spark), txt, idc))
 
     def stage_signatures(spark: SparkSession) -> DataFrame:
-        clips = load_clips(spark)
-        sig = mh.shingle_signatures(
-            clips, txt, idc,
-            shingle_size=cfg.shingle_size, num_perm=cfg.num_perm, keep_shingles=True,
+        # THE one corpus scan: every downstream pair family reads this table
+        return fused_signatures(
+            load_clips(spark), txt, idc,
+            shingle_size=cfg.shingle_size, num_perm=cfg.num_perm,
+            keep_shingles=True, substring_length=cfg.substring_length,
+            winnow_window=cfg.winnow_window,
         )
-        sim = sh.simhash_signatures(clips, txt, idc)
-        return sig.join(sim, idc)
 
-    def stage_exact_pairs(spark: SparkSession) -> DataFrame:
+    def stage_exact_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
         # full-transcript exact duplicates under normalize_for_dedup:
-        # bucket = hash of the whole normalized transcript
-        clips = load_clips(spark)
-        buckets = clips.select(
-            F.col(idc), ed.dedup_hash_udf(F.col(txt)).alias("tkey")
+        # bucket = tkey (sha1-u64 of the whole normalized transcript),
+        # already computed by the fused signature scan
+        return candidate_pairs(
+            signatures.select(idc, "tkey"), ["tkey"], idc, bucket_cap=cfg.bucket_cap
         )
-        from cc_net_spark.operators.pairs import candidate_pairs
-
-        return candidate_pairs(buckets, ["tkey"], idc, bucket_cap=cfg.bucket_cap)
 
     def stage_minhash_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
         cand = mh.minhash_candidate_pairs(
@@ -115,21 +120,22 @@ def build_stages(
         )
         return sh.verify_hamming(cand, signatures, idc, max_hamming=cfg.max_hamming)
 
-    def stage_substring_pairs(spark: SparkSession) -> DataFrame:
-        return ss.substring_candidate_pairs(
-            load_clips(spark), txt, idc,
-            length=cfg.substring_length, gram_cap=cfg.gram_cap,
-            winnow_window=cfg.winnow_window,
-        )
+    def stage_substring_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+        grams = signatures.select(idc, F.explode("grams").alias("gram"))
+        return candidate_pairs(grams, ["gram"], idc, bucket_cap=cfg.gram_cap)
 
-    def stage_audio_pairs(spark: SparkSession) -> DataFrame:
-        # the ONLY stage that reads the audio payload
+    def stage_audio_pairs(spark: SparkSession):
+        # the ONLY stage that reads the audio payload; returns
+        # (pairs, drop-metrics) so the manifest records any capped
+        # fingerprint buckets (no silent truncation)
         from cc_net_spark.multimodal.audio import audio_near_dup_pairs
 
         clips = spark.read.parquet(clips_path).select(idc, "codec", "bytes")
-        return audio_near_dup_pairs(
-            clips, idc, bucket_cap=cfg.bucket_cap, min_snr_db=cfg.audio_min_snr_db
-        ).select("id_a", "id_b")
+        pairs, metrics = audio_near_dup_pairs(
+            clips, idc, bucket_cap=cfg.bucket_cap, min_snr_db=cfg.audio_min_snr_db,
+            with_metrics=True,
+        )
+        return pairs.select("id_a", "id_b"), {"pairgen": metrics.__dict__}
 
     def stage_edges(
         spark: SparkSession,
@@ -185,11 +191,12 @@ def build_stages(
         edges = (
             tag(stage_minhash_pairs(spark, signatures), "minhash")
             .unionByName(tag(stage_simhash_pairs(spark, signatures), "simhash"))
-            .unionByName(tag(stage_exact_pairs(spark), "exact"))
-            .unionByName(tag(stage_substring_pairs(spark), "substring"))
+            .unionByName(tag(stage_exact_pairs(spark, signatures), "exact"))
+            .unionByName(tag(stage_substring_pairs(spark, signatures), "substring"))
         )
         if cfg.include_audio_pass:
-            edges = edges.unionByName(tag(stage_audio_pairs(spark), "audio"))
+            audio, _metrics = stage_audio_pairs(spark)
+            edges = edges.unionByName(tag(audio, "audio"))
         return edges
 
     metrics_fn = dup_ratio if cfg.collect_metrics else None
@@ -203,8 +210,8 @@ def build_stages(
         return [
             *head,
             Stage("signatures", stage_signatures, external_inputs=ext),
-            # the fused edges stage also reads clips directly (exact +
-            # substring passes), not only the signatures stage
+            # the fused edges stage reads only the signatures table for the
+            # text families; the audio pass (if enabled) reads clips too
             Stage("edges", stage_edges_fused, inputs=["signatures"], external_inputs=ext),
             Stage(
                 "clusters",
@@ -226,10 +233,10 @@ def build_stages(
     return [
         *head,
         Stage("signatures", stage_signatures, external_inputs=ext),
-        Stage("exact_pairs", stage_exact_pairs, external_inputs=ext),
+        Stage("exact_pairs", stage_exact_pairs, inputs=["signatures"]),
         Stage("minhash_pairs", stage_minhash_pairs, inputs=["signatures"]),
         Stage("simhash_pairs", stage_simhash_pairs, inputs=["signatures"]),
-        Stage("substring_pairs", stage_substring_pairs, external_inputs=ext),
+        Stage("substring_pairs", stage_substring_pairs, inputs=["signatures"]),
         *audio_stages,
         Stage("edges", stage_edges, inputs=edge_inputs),
         Stage(

@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 
 CHUNK = 8
 
+# Signature/payload tables exported for oracle verification. The oracle
+# SQL is a static string built at import time, so the path is fixed per
+# PROCESS (pid-scoped): each query (over)writes its export right before
+# the driver evaluates the oracle on the same data, and concurrent runs
+# (bench + correctness, or two SFs in separate processes) can no longer
+# clobber each other's exports.
+import os as _os
+
+ORACLE_EXPORT = f"/tmp/cc_net_spark_oracle_export_{_os.getpid()}"
+
 # ---------------------------------------------------------------------------
 # shared builders
 # ---------------------------------------------------------------------------
@@ -30,6 +40,25 @@ CHUNK = 8
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a driver table from Parquet FOOTERS only — no Spark
+    job (three gate queries used to run a full count() scan just to size
+    their synthetic corpora)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(f"{sf_dir}/{name}.parquet")
+    files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _synth_n(sf_dir: str, roles: int = 8) -> int:
+    """Synthetic-corpus size keyed to the documents row count, rounded to
+    whole planted groups (footer read, zero Spark jobs)."""
+    return max(160, min(2048, table_rows(sf_dir, "documents"))) // roles * roles
 
 
 def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,13 +615,46 @@ SQL_LENGTH_HISTOGRAM = """
 
 
 def q_audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over decoded PCM (multimodal plumbing; rows-only)."""
+    """Frame sampling over decoded PCM — a TRUE differential oracle: the
+    query exports the raw clip blobs, and DuckDB independently decodes the
+    WAV data chunk (int16 LE via hex-string slicing), re-frames it and
+    recomputes each sampled frame's RMS in pure SQL. Numpy decode+frame
+    math vs SQL decode+frame math on the same bytes."""
     from cc_net_spark.multimodal.audio import frame_sample
     from cc_net_spark.sources import synth
 
     clips = synth.generate_clips(spark, 96, seed=42, with_audio=True)
+    clips.select("clip_id", "bytes").write.mode("overwrite").parquet(
+        f"{ORACLE_EXPORT}/frame_clips"
+    )
     out = frame_sample(clips, every=8)
     return out.select("clip_id", "frame_idx", F.round("frame_rms", 6).alias("frame_rms"))
+
+
+# WAV layout assumption matches wav_encode_pcm16 (multimodal/audio.py):
+# fixed 44-byte RIFF header, mono PCM16LE data chunk at offset 44.
+# int16 LE decode: hex() the blob once, slice 2-hex-digit bytes, swap to
+# big-endian, CAST('0x..' AS INT), two's-complement via the 32768 test.
+SQL_AUDIO_FRAME_SAMPLE = f"""
+  WITH c AS (SELECT clip_id, hex(bytes) AS hx,
+                    (octet_length(bytes) - 44) // 2 AS n_samples
+             FROM read_parquet('{ORACLE_EXPORT}/frame_clips/*.parquet')),
+  fr AS (SELECT clip_id, hx, CAST(t.i AS BIGINT) AS frame_idx
+         FROM c, unnest(range(n_samples // 512)) AS t(i)
+         WHERE t.i % 8 = 0),
+  samp AS (
+    SELECT clip_id, frame_idx,
+           CAST('0x'
+                || substr(hx, CAST(88 + (frame_idx*512 + u.j)*4 + 3 AS BIGINT), 2)
+                || substr(hx, CAST(88 + (frame_idx*512 + u.j)*4 + 1 AS BIGINT), 2)
+                AS INTEGER) AS uv
+    FROM fr, unnest(range(512)) AS u(j)),
+  vals AS (SELECT clip_id, frame_idx,
+                  (CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END) / 32768.0 AS v
+           FROM samp)
+  SELECT clip_id, frame_idx, round(sqrt(avg(v * v)), 6) AS frame_rms
+  FROM vals GROUP BY clip_id, frame_idx
+"""
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,12 +884,6 @@ SQL_UNMINIFY = (
 # oracle either re-derives the SQL-expressible predicate directly, or
 # reads the signature table the query exports (VERDICT r1 item 3) --------
 
-# Signature tables exported for oracle verification. The oracle SQL is a
-# static string, so the path is fixed; each query (over)writes its export
-# right before the driver evaluates the oracle on the same data.
-ORACLE_EXPORT = "/tmp/cc_net_spark_oracle_export"
-
-
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH verified near-dup pairs over documents (Jaccard >= 0.2).
 
@@ -849,11 +905,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.col("id_a").cast("long")
     b = F.col("id_b").cast("long")
     # round like the oracle does — the driver's value hash is exact, and
-    # the local replica's 6dp canonicalization would mask a mismatch
-    return mh.verify_jaccard(cand, sig, "doc_id", threshold=0.2).select(
-        F.least(a, b).alias("doc_a"),
-        F.greatest(a, b).alias("doc_b"),
-        F.round("jaccard", 6).alias("jaccard"),
+    # the local replica's 6dp canonicalization would mask a mismatch.
+    # The qualifying predicate is applied to the ROUNDED value exactly as
+    # the oracle applies it (verify at a slack threshold first): a pair
+    # with exact Jaccard in [0.1999995, 0.2) must pass on both sides.
+    return (
+        mh.verify_jaccard(cand, sig, "doc_id", threshold=0.19)
+        .select(
+            F.least(a, b).alias("doc_a"),
+            F.greatest(a, b).alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
     )
 
 
@@ -948,7 +1011,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 100)
-    cents = ann.kmeans_centroids(emb, n_cells=32)
+    cents = ann.kmeans_centroids(
+        emb, n_cells=32, corpus_rows=table_rows(sf_dir, "embeddings")
+    )
     corpus_cells = ann.ivf_assign(emb, cents, nprobe=1).localCheckpoint()
     query_cells = (
         ann.ivf_assign(queries, cents, nprobe=4)
@@ -1039,12 +1104,7 @@ def q_clips_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.operators.pairs import candidate_pairs
     from cc_net_spark.sources import synth
 
-    n_docs = load(spark, sf_dir, "documents").count()
-    n = (
-        max(160, min(2048, n_docs))
-        // synth.ROLES_PER_GROUP
-        * synth.ROLES_PER_GROUP
-    )
+    n = _synth_n(sf_dir, synth.ROLES_PER_GROUP)
     clips = synth.generate_clips(spark, n, seed=42, with_audio=False).select(
         "clip_id", "transcript"
     )
@@ -1102,12 +1162,7 @@ def q_clips_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.operators.pairs import candidate_pairs
     from cc_net_spark.sources import synth
 
-    n_docs = load(spark, sf_dir, "documents").count()
-    n = (
-        max(160, min(2048, n_docs))
-        // synth.ROLES_PER_GROUP
-        * synth.ROLES_PER_GROUP
-    )
+    n = _synth_n(sf_dir, synth.ROLES_PER_GROUP)
     clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
     texts = clips.select("clip_id", "transcript")
     sig = mh.shingle_signatures(texts, "transcript", "clip_id", num_perm=128)
@@ -1176,12 +1231,7 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.multimodal.audio import audio_near_dup_pairs
     from cc_net_spark.sources import synth
 
-    n_docs = load(spark, sf_dir, "documents").count()
-    n = (
-        max(160, min(2048, n_docs))
-        // synth.ROLES_PER_GROUP
-        * synth.ROLES_PER_GROUP
-    )
+    n = _synth_n(sf_dir, synth.ROLES_PER_GROUP)
     clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
     return audio_near_dup_pairs(clips).select("id_a", "id_b")
 
@@ -1198,18 +1248,187 @@ SQL_AUDIO_NEAR_DUP = """
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real decode + feature extraction over synthetic clips."""
+    """Real decode + feature extraction over synthetic clips, with a TRUE
+    differential oracle: DuckDB re-decodes the exported blobs in SQL and
+    recomputes whole-clip RMS + zero crossings. (Spectral centroid needs
+    an FFT — not SQL-expressible — and is verified by pytest against
+    planted pure tones instead; see tests/test_synth_audio.py.)"""
     from cc_net_spark.multimodal.audio import audio_features
     from cc_net_spark.sources import synth
 
-    clips = synth.generate_clips(spark, 160, seed=42, with_audio=True)
+    clips = synth.generate_clips(spark, 96, seed=42, with_audio=True)
+    clips.select("clip_id", "bytes").write.mode("overwrite").parquet(
+        f"{ORACLE_EXPORT}/feature_clips"
+    )
     out = audio_features(clips)
     return out.select(
-        "clip_id",
-        F.round("rms", 6).alias("rms"),
-        "zero_crossings",
-        F.round("spectral_centroid", 3).alias("spectral_centroid"),
+        "clip_id", F.round("rms", 6).alias("rms"), "zero_crossings"
     )
+
+
+# zero_crossings parity note: numpy counts sign CHANGES of signbit(pcm)
+# (negative = True, 0.0 = False); the SQL lag-window counts adjacent
+# sample pairs whose (v < 0) flags differ — identical semantics because
+# int16/32768.0 never produces -0.0.
+SQL_AUDIO_FEATURES = f"""
+  WITH c AS (SELECT clip_id, hex(bytes) AS hx,
+                    (octet_length(bytes) - 44) // 2 AS n_samples
+             FROM read_parquet('{ORACLE_EXPORT}/feature_clips/*.parquet')),
+  samp AS (
+    SELECT clip_id, CAST(t.i AS BIGINT) AS j,
+           CAST('0x'
+                || substr(hx, CAST(88 + t.i*4 + 3 AS BIGINT), 2)
+                || substr(hx, CAST(88 + t.i*4 + 1 AS BIGINT), 2)
+                AS INTEGER) AS uv
+    FROM c, unnest(range(n_samples)) AS t(i)),
+  vals AS (SELECT clip_id, j,
+                  (CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END) / 32768.0 AS v
+           FROM samp),
+  flagged AS (SELECT clip_id, j, v, (v < 0) AS neg,
+                     lag(v < 0) OVER (PARTITION BY clip_id ORDER BY j) AS prev_neg
+              FROM vals)
+  SELECT clip_id,
+         round(sqrt(avg(v * v)), 6) AS rms,
+         CAST(sum(CASE WHEN prev_neg IS NOT NULL AND neg <> prev_neg
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM flagged GROUP BY clip_id
+"""
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate images by PIXEL CONTENT (dHash buckets -> exact
+    pixel-PSNR verify), over the planted image corpus: group g's role-1
+    image is role 0 plus per-pixel noise in [-2, 2] (PSNR ~45 dB,
+    identical dHash by construction — see generate_image_corpus); roles
+    2..3 are unrelated/stub. Expected output: exactly the (4g, 4g+1)
+    pairs — pure index math for the oracle."""
+    from cc_net_spark.multimodal.image import (
+        IMG_ROLES_PER_GROUP,
+        generate_image_corpus,
+        image_near_dup_pairs,
+    )
+
+    n = _synth_n(sf_dir, IMG_ROLES_PER_GROUP)
+    images = generate_image_corpus(spark, n, seed=42)
+    return image_near_dup_pairs(images).select("id_a", "id_b")
+
+
+SQL_IMAGE_NEAR_DUP = """
+  WITH p AS (SELECT CAST(greatest(160, least(2048,
+               (SELECT count(*) FROM documents))) // 4 * 4 AS BIGINT) AS n),
+  g AS (SELECT range AS g FROM range(512) WHERE range < (SELECT n FROM p) // 4)
+  SELECT printf('img-%06d', g.g * 4) AS id_a,
+         printf('img-%06d', g.g * 4 + 1) AS id_b
+  FROM g
+"""
+
+
+def q_substring_overlap_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest-common-substring length for every candidate pair of
+    the substring pass (rolling-hash binary search, verify_overlap_length
+    — the reference-adjacent 'near-verbatim overlap' verdict). Oracle:
+    DuckDB re-derives the LCS from first principles via the
+    diagonal-run identity — docs share an M>=30-char substring iff their
+    30-char window match-set contains a diagonal run of M-29 consecutive
+    positions, so LCS = 29 + max run."""
+    from cc_net_spark.operators import substring as ss
+
+    docs = load(spark, sf_dir, "documents")
+    cand = ss.substring_candidate_pairs(
+        docs, "text", "doc_id", length=30, gram_cap=1_000_000
+    )
+    verified = ss.verify_overlap_length(cand, docs, "text", "doc_id", min_length=30)
+    a = F.col("id_a").cast("long")
+    b = F.col("id_b").cast("long")
+    return verified.select(
+        F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b"), "overlap_len"
+    )
+
+
+SQL_SUBSTRING_OVERLAP = """
+  WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+  wins AS (
+    SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+           substr(txt, CAST(i.i + 1 AS INTEGER), 30) AS win
+    FROM t, unnest(range(CAST(greatest(length(txt)-30+1, 0) AS BIGINT))) AS i(i)),
+  m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS ia, b.pos AS jb
+        FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id),
+  r AS (SELECT doc_a, doc_b, ia - jb AS diag, ia,
+               ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - jb
+                                       ORDER BY ia) AS island
+        FROM m),
+  runs AS (SELECT doc_a, doc_b, count(*) AS run
+           FROM r GROUP BY doc_a, doc_b, diag, island)
+  SELECT doc_a, doc_b, CAST(max(run) + 29 AS BIGINT) AS overlap_len
+  FROM runs GROUP BY doc_a, doc_b
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped rollup: region -> nation -> customer -> orders ->
+    lineitem, revenue per (region, nation). The two tiny dims broadcast
+    (explicit hint — what AQE picks at scale); the orders⋈customer and
+    lineitem⋈orders joins shuffle on their keys."""
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+  SELECT r_name, n_name, count(*) AS n_items,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+"""
+
+
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract the numeric ``k`` field
+    from the JSON ``props`` string and aggregate per event type (the
+    jsonql '_'-splice / nested-field analogue over the events table)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS = """
+  WITH e AS (SELECT event_type,
+                    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+             FROM events)
+  SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+         round(avg(k), 6) AS avg_k, max(k) AS max_k
+  FROM e GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1244,8 +1463,10 @@ def registry():
         "orders_by_segment": q_orders_by_segment,
         "brand_supplier_volume": q_brand_supplier_volume,
         "top_orders_by_revenue": q_top_orders_by_revenue,
+        "regional_revenue": q_regional_revenue,
+        "events_props_stats": q_events_props_stats,
         "unminify_roundtrip": q_unminify_roundtrip,
-        # rows-only (non-SQL-expressible: signature/UDF-based)
+        "substring_overlap_len": q_substring_overlap_len,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1257,6 +1478,7 @@ def registry():
         "audio_near_dup": q_audio_near_dup,
         "audio_features": q_audio_features,
         "audio_frame_sample": q_audio_frame_sample,
+        "image_near_dup": q_image_near_dup,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -1284,7 +1506,10 @@ def registry():
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "brand_supplier_volume": SQL_BRAND_SUPPLIER_VOLUME,
         "top_orders_by_revenue": SQL_TOP_ORDERS,
+        "regional_revenue": SQL_REGIONAL_REVENUE,
+        "events_props_stats": SQL_EVENTS_PROPS,
         "unminify_roundtrip": SQL_UNMINIFY,
+        "substring_overlap_len": SQL_SUBSTRING_OVERLAP,
         # round-2: signature/synthetic queries gained real oracles
         # (exact-predicate equivalence, exported signature tables, or
         # index-math expected results — see each query's docstring)
@@ -1297,5 +1522,10 @@ def registry():
         "clips_multimodal_clusters": SQL_CLIPS_CLUSTERS,
         "audio_invariants": SQL_AUDIO_INVARIANTS,
         "audio_near_dup": SQL_AUDIO_NEAR_DUP,
+        # round-3: the last two rows-only queries gained true differential
+        # oracles (DuckDB decodes the exported WAV blobs in pure SQL)
+        "audio_features": SQL_AUDIO_FEATURES,
+        "audio_frame_sample": SQL_AUDIO_FRAME_SAMPLE,
+        "image_near_dup": SQL_IMAGE_NEAR_DUP,
     }
     return q, o

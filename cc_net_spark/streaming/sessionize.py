@@ -27,11 +27,15 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
+    event_id_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
-    """(user_id, session_id, session_start, session_end, n_events,
+    """(user, session_id, session_start, session_end, n_events,
     sum_value): gap-based sessions; a new session starts when the gap
-    from the previous event of the same user exceeds ``gap_minutes``."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    from the previous event of the same user exceeds ``gap_minutes``.
+    ``event_id_col`` breaks same-timestamp ties deterministically;
+    ``value_col`` is the summed measure."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, event_id_col)
     gap_s = int(gap_minutes * 60)
     prev_ts = F.lag(ts_col).over(w)
     new_session = (
@@ -47,7 +51,7 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
         )
         .select(
             user_col,
@@ -67,6 +71,7 @@ def sessionize_stream(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     watermark: str = "1 hour",
+    value_col: str = "value",
 ):
     """Stateful-streaming sessionization: ``applyInPandasWithState`` over
     a watermarked event stream; one state object per user. Emits a row
@@ -92,9 +97,12 @@ def sessionize_stream(
         TimestampType,
     )
 
+    # the output key field inherits the input's user column type (a
+    # hardcoded LongType would throw for string-keyed event schemas)
+    user_type = events.schema[user_col].dataType
     out_schema = StructType(
         [
-            StructField(user_col, LongType()),
+            StructField(user_col, user_type),
             StructField("session_start", TimestampType()),
             StructField("session_end", TimestampType()),
             StructField("n_events", LongType()),
@@ -130,7 +138,7 @@ def sessionize_stream(
             vals = []
             for pdf in pdfs:
                 ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
-                vals.extend(float(v) for v in pdf["value"])
+                vals.extend(float(v) for v in pdf[value_col])
             order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
             for i in order:
                 t_us, v = ts_list[i], vals[i]

@@ -156,15 +156,25 @@ def test_minify_wire_compat_roundtrip(spark):
         assert decode_line_ids(encode_line_ids(ids)) == ids
     s = "some paragraph"
     digest = "sha1:" + b64.b32encode(hashlib.sha1(s.encode()).digest()).decode()
+    # internal width (8): same formula as the engine's sha1-u64 dedup hash
     assert doc_key(digest) == str_hash(s)
+    # reference width (4): byte-exact get_doc_key (cc_net/minify.py:28-30,72-75)
+    import numpy as np
 
-    # hash-dump codec (cc_net/minify.py:43-58): base64 of 8-byte prefixes
+    assert doc_key(digest, hash_size=4) == int(
+        np.frombuffer(hashlib.sha1(s.encode()).digest()[:4], dtype="<u4")[0]
+    )
+
+    # hash-dump codec (cc_net/minify.py:43-58): reference wire format is
+    # 4-byte prefixes (HASH_SIZE=4); 8-byte round-trips internal dumps
     from cc_net_spark.operators.minify import decode_hashes, encode_hashes
 
     hs = [hashlib.sha1(f"line {i}".encode()).digest() for i in range(5)]
-    enc = encode_hashes(hs)
-    assert enc == b64.b64encode(b"".join(h[:8] for h in hs)).decode()
-    assert decode_hashes(enc) == [h[:8] for h in hs]
+    enc = encode_hashes(hs)  # default = reference width
+    assert enc == b64.b64encode(b"".join(h[:4] for h in hs)).decode()
+    assert decode_hashes(enc) == [h[:4] for h in hs]
+    enc8 = encode_hashes(hs, hash_size=8)
+    assert decode_hashes(enc8, hash_size=8) == [h[:8] for h in hs]
 
     docs = spark.createDataFrame(
         [(1, "a\nb\na"), (2, "c\nd")], "doc_id long, raw_content string"
