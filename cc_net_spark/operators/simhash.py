@@ -72,19 +72,29 @@ def simhash_candidate_pairs(
     bucket_cap: int = 200,
     with_metrics: bool = False,
     salt_hot: bool = True,
+    drop_above: int | None = None,
 ):
     """Pigeonhole-banded candidate pairs for Hamming <= max_hamming.
 
     Scale note: k+1 contiguous bands over 64 bits means NARROW band keys
     (~13 bits at k=4, ~7 bits at k=8) — at 10^9 docs every band bucket
-    holds ~n/2^width members by construction, so a size cap would be a
-    RECALL CLIFF, not boilerplate skimming. Default is therefore the
-    salted full-recall join (``salted_candidate_pairs``): buckets above
-    ``bucket_cap`` are tiled across a salt grid instead of dropped — every
-    true pair is still produced, the quadratic work just lands on ~n_salts
-    ^2/2 tasks instead of one straggler. ``salt_hot=False`` restores the
-    capped join (with drop metrics) for callers that explicitly want to
-    skim."""
+    holds ~n/2^width members by construction, so a size cap is a RECALL
+    CLIFF, not boilerplate skimming. Default is therefore the salted
+    join (``salted_candidate_pairs``): buckets above ``bucket_cap`` are
+    tiled across a salt grid instead of dropped — every true pair is
+    still produced, the quadratic work just lands on ~n_salts^2/2 tasks
+    instead of one straggler.
+
+    Salting spreads quadratic work; it cannot make it sub-quadratic. On
+    a corpus whose simhashes CONCENTRATE (boilerplate, tiny vocabulary,
+    templated text) a band bucket can hold a constant FRACTION of the
+    corpus — genuinely pathological, and those pairs would overwhelmingly
+    fail the Hamming verify anyway (precision boilerplate, not recall
+    signal). ``drop_above`` is the pathological ceiling for that case:
+    buckets above it are dropped even in salted mode (the near-dup
+    pipeline sets it; the documents-table gate query leaves it None =
+    full recall). ``salt_hot=False`` restores the plain capped join with
+    drop metrics."""
     bands = sim_df.select(
         id_col, "simhash", F.explode(F.array(*_band_exprs(max_hamming))).alias("_b")
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
@@ -92,7 +102,8 @@ def simhash_candidate_pairs(
         from cc_net_spark.operators.pairs import salted_candidate_pairs
 
         return salted_candidate_pairs(
-            bands, ["band", "key"], id_col, hot_threshold=bucket_cap
+            bands, ["band", "key"], id_col,
+            hot_threshold=bucket_cap, bucket_cap=drop_above,
         )
     return candidate_pairs(
         bands, ["band", "key"], id_col, bucket_cap=bucket_cap, with_metrics=with_metrics

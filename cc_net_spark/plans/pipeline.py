@@ -114,9 +114,18 @@ def build_stages(
         return mh.verify_jaccard(cand, signatures, idc, threshold=cfg.jaccard_threshold)
 
     def stage_simhash_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+        # salt buckets above bucket_cap/4 (load spreading, full recall up
+        # to the ceiling), DROP above bucket_cap: SimHash values
+        # concentrate on templated/boilerplate corpora, where a band
+        # bucket can hold a constant fraction of the corpus — salting
+        # spreads quadratic work but cannot shrink it, so the
+        # pathological ceiling stays (same output as a plain cap, minus
+        # the straggler task). See simhash_candidate_pairs docstring.
         cand = sh.simhash_candidate_pairs(
             signatures.select(idc, "simhash"), idc,
-            max_hamming=cfg.max_hamming, bucket_cap=cfg.bucket_cap,
+            max_hamming=cfg.max_hamming,
+            bucket_cap=max(2, cfg.bucket_cap // 4),
+            drop_above=cfg.bucket_cap,
         )
         return sh.verify_hamming(cand, signatures, idc, max_hamming=cfg.max_hamming)
 

@@ -1323,6 +1323,32 @@ SQL_IMAGE_NEAR_DUP = """
 """
 
 
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate videos by FRAME CONTENT (sampled-frame dHash words
+    -> exact aligned-frame PSNR verify) over the planted video corpus —
+    completes the audio/image/video modality triple. Expected output:
+    exactly the (4g, 4g+1) pairs (index math)."""
+    from cc_net_spark.multimodal.video import (
+        VID_ROLES_PER_GROUP,
+        generate_video_corpus,
+        video_near_dup_pairs,
+    )
+
+    n = _synth_n(sf_dir, VID_ROLES_PER_GROUP)
+    videos = generate_video_corpus(spark, n, seed=42)
+    return video_near_dup_pairs(videos).select("id_a", "id_b")
+
+
+SQL_VIDEO_NEAR_DUP = """
+  WITH p AS (SELECT CAST(greatest(160, least(2048,
+               (SELECT count(*) FROM documents))) // 4 * 4 AS BIGINT) AS n),
+  g AS (SELECT range AS g FROM range(512) WHERE range < (SELECT n FROM p) // 4)
+  SELECT printf('vid-%06d', g.g * 4) AS id_a,
+         printf('vid-%06d', g.g * 4 + 1) AS id_b
+  FROM g
+"""
+
+
 def q_substring_overlap_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT longest-common-substring length for every candidate pair of
     the substring pass (rolling-hash binary search, verify_overlap_length
@@ -1479,6 +1505,7 @@ def registry():
         "audio_features": q_audio_features,
         "audio_frame_sample": q_audio_frame_sample,
         "image_near_dup": q_image_near_dup,
+        "video_near_dup": q_video_near_dup,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -1527,5 +1554,6 @@ def registry():
         "audio_features": SQL_AUDIO_FEATURES,
         "audio_frame_sample": SQL_AUDIO_FRAME_SAMPLE,
         "image_near_dup": SQL_IMAGE_NEAR_DUP,
+        "video_near_dup": SQL_VIDEO_NEAR_DUP,
     }
     return q, o
