@@ -271,9 +271,11 @@ def audio_near_dup_pairs(
 
     fp = audio_fingerprints(clips, id_col, frame=frame, bands=bands)
     if with_metrics:
-        # cache: the metrics aggregation is a second action over fp and
-        # must not re-decode every clip
-        fp = fp.persist()
+        # the metrics aggregation is a second action over fp and must not
+        # re-decode every clip; localCheckpoint (not persist) so the
+        # cached blocks are reclaimed once the caller drops the DataFrame
+        # instead of leaking for the session lifetime
+        fp = fp.localCheckpoint(eager=True)
         cand, metrics = candidate_pairs(
             fp, ["word"], id_col, bucket_cap=bucket_cap, with_metrics=True
         )

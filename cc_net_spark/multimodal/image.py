@@ -226,7 +226,9 @@ def image_near_dup_pairs(
 
     fp = image_fingerprints(images, id_col)
     if with_metrics:
-        fp = fp.persist()
+        # localCheckpoint, not persist: blocks reclaimed when the caller
+        # drops the DataFrame (see audio_near_dup_pairs)
+        fp = fp.localCheckpoint(eager=True)
         cand, metrics = candidate_pairs(
             fp, ["dhash"], id_col, bucket_cap=bucket_cap, with_metrics=True
         )
@@ -242,6 +244,28 @@ def image_near_dup_pairs(
 # roles per group in the planted image corpus: 0 base, 1 noisy near-dup,
 # 2 unrelated, 3 jpeg stub (skip-path probe)
 IMG_ROLES_PER_GROUP = 4
+
+
+def random_walk_block_image(rng_key: list[int], bw: int, bh: int) -> np.ndarray:
+    """The dHash-stable block construction shared by the planted image
+    AND video corpora (video frames use it per frame): an 8-row x 9-col
+    block grid whose horizontally adjacent blocks differ by exactly +-12
+    gray levels along a seeded random walk from 128. The 9x8 nearest
+    resize samples one pixel per block, so the 64 dHash bits ARE the walk
+    signs — +-2 pixel noise moves a sampled difference by at most 4 < 12,
+    so every bit is noise-invariant. The walk spans 128 +- 8*12 = [32,
+    224], strictly inside [0, 255]: no clipping ever binds (asserted),
+    which is what keeps adjacent blocks unequal and the invariance proof
+    valid. Returns (8*bh, 9*bw, 3) uint8."""
+    rng = np.random.default_rng(rng_key)
+    steps = rng.choice([-12, 12], size=(8, 8))
+    vals = np.empty((8, 9), dtype=np.float64)
+    vals[:, 0] = 128.0
+    for c in range(8):
+        vals[:, c + 1] = vals[:, c] + steps[:, c]
+    assert vals.min() >= 32 and vals.max() <= 224  # walk never saturates
+    gray = np.repeat(np.repeat(vals, bh, axis=0), bw, axis=1)
+    return np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)
 
 
 def generate_image_corpus(
@@ -267,15 +291,7 @@ def generate_image_corpus(
     def _block_image(g: int) -> np.ndarray:
         rng = np.random.default_rng([seed, 12321, g])
         bw, bh = int(rng.integers(2, 4)), int(rng.integers(2, 4))  # block px
-        w, h = 9 * bw, 8 * bh
-        steps = rng.choice([-12, 12], size=(8, 8))
-        vals = np.empty((8, 9), dtype=np.float64)
-        vals[:, 0] = 128.0
-        for c in range(8):
-            vals[:, c + 1] = vals[:, c] + steps[:, c]
-        vals = np.clip(vals, 8, 247)
-        gray = np.repeat(np.repeat(vals, bh, axis=0), bw, axis=1)
-        return np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)
+        return random_walk_block_image([seed, 12321, g, 1], bw, bh)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -179,7 +179,9 @@ def video_near_dup_pairs(
 
     fp = video_fingerprints(videos, id_col, every=every)
     if with_metrics:
-        fp = fp.persist()
+        # localCheckpoint, not persist: blocks reclaimed when the caller
+        # drops the DataFrame (see audio_near_dup_pairs)
+        fp = fp.localCheckpoint(eager=True)
         cand, metrics = candidate_pairs(
             fp, ["frame_idx", "fhash"], id_col, bucket_cap=bucket_cap,
             with_metrics=True,
@@ -210,14 +212,10 @@ def generate_video_corpus(
     base = spark.range(0, n_rows, 1, partitions)
 
     def _block_frame(g: int, fi: int) -> np.ndarray:
-        rng = np.random.default_rng([seed, 777, g, fi])
-        steps = rng.choice([-12, 12], size=(8, 8))
-        vals = np.empty((8, 9), dtype=np.float64)
-        vals[:, 0] = 128.0
-        for c in range(8):
-            vals[:, c + 1] = vals[:, c] + steps[:, c]
-        gray = np.repeat(np.repeat(vals, 2, axis=0), 2, axis=1)  # 16 x 18
-        return np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)
+        # shared dHash-stable construction (see image.random_walk_block_image)
+        from cc_net_spark.multimodal.image import random_walk_block_image
+
+        return random_walk_block_image([seed, 777, g, fi], 2, 2)  # 16 x 18
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

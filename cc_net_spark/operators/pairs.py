@@ -82,7 +82,8 @@ def salted_candidate_pairs(
     hot_threshold: int = 200,
     n_salts: int = 16,
     bucket_cap: int | None = None,
-) -> DataFrame:
+    with_metrics: bool = False,
+):
     """Candidate pairs with HOT-BUCKET SALTING instead of dropping.
 
     Buckets <= ``hot_threshold`` go through the plain self-join. Hotter
@@ -98,9 +99,14 @@ def salted_candidate_pairs(
     This is the "salting hot LSH buckets" strategy of the north rule;
     `candidate_pairs` (cap) remains the right default for buckets that are
     boilerplate rather than load imbalance.
+
+    ``with_metrics=True`` returns ``(pairs, PairGenMetrics)`` counting the
+    buckets/rows the ``bucket_cap`` ceiling dropped (zero when no cap) —
+    the same no-silent-truncation contract as the capped generator.
     """
     b = bucketed.select(*bucket_cols, id_col).dropDuplicates([*bucket_cols, id_col])
-    sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    all_sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    sizes = all_sizes
     if bucket_cap is not None:
         sizes = sizes.filter(F.col("_bsz") <= bucket_cap)
     tagged = b.join(sizes, bucket_cols, "inner")
@@ -141,7 +147,22 @@ def salted_candidate_pairs(
             F.greatest("id_a", "id_b").alias("id_b"),
         )
     )
-    return cold_pairs.unionByName(hot_pairs).distinct()
+    pairs = cold_pairs.unionByName(hot_pairs).distinct()
+    if not with_metrics:
+        return pairs
+    cap = bucket_cap if bucket_cap is not None else float("inf")
+    m = all_sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("_bsz") > cap, 1).otherwise(0)).alias("dropped"),
+        F.sum(F.when(F.col("_bsz") > cap, F.col("_bsz")).otherwise(0)).alias(
+            "rows_dropped"
+        ),
+    ).collect()[0]
+    return pairs, PairGenMetrics(
+        n_buckets=m["n_buckets"] or 0,
+        n_buckets_dropped=m["dropped"] or 0,
+        n_rows_dropped=m["rows_dropped"] or 0,
+    )
 
 
 def salted_bucket_sizes(bucketed: DataFrame, bucket_cols: list[str]) -> DataFrame:

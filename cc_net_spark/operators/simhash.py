@@ -104,6 +104,7 @@ def simhash_candidate_pairs(
         return salted_candidate_pairs(
             bands, ["band", "key"], id_col,
             hot_threshold=bucket_cap, bucket_cap=drop_above,
+            with_metrics=with_metrics,
         )
     return candidate_pairs(
         bands, ["band", "key"], id_col, bucket_cap=bucket_cap, with_metrics=with_metrics

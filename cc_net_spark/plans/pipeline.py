@@ -113,21 +113,26 @@ def build_stages(
         )
         return mh.verify_jaccard(cand, signatures, idc, threshold=cfg.jaccard_threshold)
 
-    def stage_simhash_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+    def stage_simhash_pairs(spark: SparkSession, signatures: DataFrame):
         # salt buckets above bucket_cap/4 (load spreading, full recall up
         # to the ceiling), DROP above bucket_cap: SimHash values
         # concentrate on templated/boilerplate corpora, where a band
         # bucket can hold a constant fraction of the corpus — salting
         # spreads quadratic work but cannot shrink it, so the
         # pathological ceiling stays (same output as a plain cap, minus
-        # the straggler task). See simhash_candidate_pairs docstring.
-        cand = sh.simhash_candidate_pairs(
+        # the straggler task). Because the ceiling DROPS pairs, the drop
+        # counters are always recorded into the stage manifest (the band
+        # table derives from the materialized signatures parquet, so the
+        # metrics pass is one cheap JVM-side re-scan, no UDF recompute).
+        cand, metrics = sh.simhash_candidate_pairs(
             signatures.select(idc, "simhash"), idc,
             max_hamming=cfg.max_hamming,
             bucket_cap=max(2, cfg.bucket_cap // 4),
             drop_above=cfg.bucket_cap,
+            with_metrics=True,
         )
-        return sh.verify_hamming(cand, signatures, idc, max_hamming=cfg.max_hamming)
+        pairs = sh.verify_hamming(cand, signatures, idc, max_hamming=cfg.max_hamming)
+        return pairs, {"pairgen": metrics.__dict__}
 
     def stage_substring_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
         grams = signatures.select(idc, F.explode("grams").alias("gram"))
@@ -193,20 +198,23 @@ def build_stages(
         n_clusters = df.select("cluster_id").distinct().count()
         return {"n_rows": agg["n"], "n_clusters": n_clusters}
 
-    def stage_edges_fused(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+    def stage_edges_fused(spark: SparkSession, signatures: DataFrame):
         def tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select("id_a", "id_b", F.lit(kind).alias("kind"))
 
+        simhash_pairs, sim_metrics = stage_simhash_pairs(spark, signatures)
         edges = (
             tag(stage_minhash_pairs(spark, signatures), "minhash")
-            .unionByName(tag(stage_simhash_pairs(spark, signatures), "simhash"))
+            .unionByName(tag(simhash_pairs, "simhash"))
             .unionByName(tag(stage_exact_pairs(spark, signatures), "exact"))
             .unionByName(tag(stage_substring_pairs(spark, signatures), "substring"))
         )
+        metrics = {"simhash_pairgen": sim_metrics["pairgen"]}
         if cfg.include_audio_pass:
-            audio, _metrics = stage_audio_pairs(spark)
+            audio, audio_metrics = stage_audio_pairs(spark)
             edges = edges.unionByName(tag(audio, "audio"))
-        return edges
+            metrics["audio_pairgen"] = audio_metrics["pairgen"]
+        return edges, metrics
 
     metrics_fn = dup_ratio if cfg.collect_metrics else None
     ext = [clips_path]

@@ -28,10 +28,17 @@ CHUNK = 8
 # PROCESS (pid-scoped): each query (over)writes its export right before
 # the driver evaluates the oracle on the same data, and concurrent runs
 # (bench + correctness, or two SFs in separate processes) can no longer
-# clobber each other's exports.
+# clobber each other's exports. Contract: queries() and oracle_sql()
+# must be evaluated by the SAME process (the driver does — it runs the
+# Spark query, then the DuckDB oracle, in one process). The export dir
+# is removed at interpreter exit (after any oracle evaluation) so
+# repeated runs don't accumulate /tmp litter.
+import atexit as _atexit
 import os as _os
+import shutil as _shutil
 
 ORACLE_EXPORT = f"/tmp/cc_net_spark_oracle_export_{_os.getpid()}"
+_atexit.register(lambda: _shutil.rmtree(ORACLE_EXPORT, ignore_errors=True))
 
 # ---------------------------------------------------------------------------
 # shared builders
@@ -909,8 +916,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The qualifying predicate is applied to the ROUNDED value exactly as
     # the oracle applies it (verify at a slack threshold first): a pair
     # with exact Jaccard in [0.1999995, 0.2) must pass on both sides.
+    # Slack 0.1999 < 0.1999995 is sufficient and keeps the verify filter
+    # essentially as selective as the nominal 0.2.
     return (
-        mh.verify_jaccard(cand, sig, "doc_id", threshold=0.19)
+        mh.verify_jaccard(cand, sig, "doc_id", threshold=0.1999)
         .select(
             F.least(a, b).alias("doc_a"),
             F.greatest(a, b).alias("doc_b"),
