@@ -64,6 +64,32 @@ def _footer_stats_digest(md) -> str:
     return h.hexdigest()[:16]
 
 
+def _scan_files(files: list[Path], rel_to: Path) -> tuple[int, list[dict]]:
+    """(total_rows, per-file partition records) from Parquet footers only —
+    metadata reads, no Spark job, no data IO."""
+    import pyarrow.parquet as pq
+
+    parts: list[dict] = []
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        parts.append(
+            {
+                "file": str(f.relative_to(rel_to)),
+                "rows": md.num_rows,
+                "bytes": f.stat().st_size,
+                "stats": _footer_stats_digest(md),
+            }
+        )
+        total += md.num_rows
+    if not parts:
+        raise RuntimeError(
+            f"stage output under {rel_to} lists no parquet files — refusing "
+            "to commit an empty-listing manifest"
+        )
+    return total, parts
+
+
 def _scan_parquet_dir(path: Path) -> tuple[int, list[dict]]:
     """(total_rows, per-file partition records) from Parquet footers only —
     metadata reads, no Spark job, no data IO."""
@@ -143,10 +169,27 @@ class Stage:
 
 
 class StageRunner:
-    def __init__(self, spark: SparkSession, workdir: str | Path):
+    """``use_snapshots=True`` materializes every stage through the
+    snapshot table layer (``sources/snapshots.SnapshotTable``): each run
+    commits an atomic snapshot per stage, so past stage outputs remain
+    readable (time travel) and a force re-run is a new snapshot rather
+    than an rm+rewrite — the Iceberg-backed deployment shape. The default
+    plain-Parquet mode keeps one directory per stage (smallest
+    footprint). Resume/skip semantics are identical in both modes (the
+    manifest fingerprints govern)."""
+
+    def __init__(
+        self, spark: SparkSession, workdir: str | Path, use_snapshots: bool = False
+    ):
         self.spark = spark
         self.workdir = Path(workdir)
+        self.use_snapshots = use_snapshots
         (self.workdir / "_manifest").mkdir(parents=True, exist_ok=True)
+
+    def _table(self, stage: str):
+        from cc_net_spark.sources.snapshots import SnapshotTable
+
+        return SnapshotTable(self.spark, self.data_path(stage))
 
     # -- paths -------------------------------------------------------------
     def data_path(self, stage: str) -> Path:
@@ -168,7 +211,12 @@ class StageRunner:
 
     def is_complete(self, stage: Stage) -> bool:
         m = self.read_manifest(stage.name)
-        if m is None or not (self.data_path(stage.name) / "_SUCCESS").exists():
+        if m is None:
+            return False
+        if self.use_snapshots:
+            if self._table(stage.name).current_snapshot_id() is None:
+                return False
+        elif not (self.data_path(stage.name) / "_SUCCESS").exists():
             return False
         expected = {i: self._fingerprint(i) for i in stage.inputs}
         if m.get("input_fingerprints", {}) != expected:
@@ -178,6 +226,8 @@ class StageRunner:
 
     # -- execution ---------------------------------------------------------
     def load(self, stage_name: str) -> DataFrame:
+        if self.use_snapshots:
+            return self._table(stage_name).read()
         return self.spark.read.parquet(str(self.data_path(stage_name)))
 
     def rows(self, stage_name: str) -> int | None:
@@ -203,14 +253,22 @@ class StageRunner:
                 df = built
 
             final = self.data_path(st.name)
-            tmp = self.workdir / f"_tmp-{st.name}-{uuid.uuid4().hex[:8]}"
-            df.write.mode("overwrite").parquet(str(tmp))
-            if final.exists():
-                shutil.rmtree(final)
-            os.rename(tmp, final)
-
-            # rows + per-partition records from footers: zero Spark jobs
-            n_rows, partitions = _scan_parquet_dir(final)
+            snapshot_id = None
+            if self.use_snapshots:
+                table = self._table(st.name)
+                snapshot_id = table.overwrite(df)
+                files = [
+                    final / f["path"] for f in table.manifest(snapshot_id)["files"]
+                ]
+                n_rows, partitions = _scan_files(files, final)
+            else:
+                tmp = self.workdir / f"_tmp-{st.name}-{uuid.uuid4().hex[:8]}"
+                df.write.mode("overwrite").parquet(str(tmp))
+                if final.exists():
+                    shutil.rmtree(final)
+                os.rename(tmp, final)
+                # rows + per-partition records from footers: zero Spark jobs
+                n_rows, partitions = _scan_parquet_dir(final)
             extra = st.metrics_fn(self.load(st.name)) if st.metrics_fn else {}
             extra = {**build_metrics, **extra}
             manifest = {
@@ -225,6 +283,7 @@ class StageRunner:
                 },
                 "fingerprint": fingerprint_listing(partitions),
                 "metrics": extra,
+                **({"snapshot_id": snapshot_id} if snapshot_id is not None else {}),
             }
             self.manifest_path(st.name).write_text(json.dumps(manifest, indent=2))
             results[st.name] = manifest

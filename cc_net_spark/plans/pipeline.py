@@ -75,6 +75,12 @@ class NearDupConfig:
     # into the cluster graph. Off by default: requires the bytes column.
     include_audio_pass: bool = False
     audio_min_snr_db: float = 30.0
+    # keep_shingles=False is the EXTREME-SCALE configuration: the
+    # signatures table stores no shingle arrays (its dominant bytes) and
+    # MinHash candidates verify on SIGNATURE-estimated Jaccard (fraction
+    # of agreeing minhashes, +-~1/sqrt(num_perm)) instead of the exact
+    # shingle-set Jaccard. Same candidates, ~5x smaller signature table.
+    keep_shingles: bool = True
 
 
 def build_stages(
@@ -94,7 +100,8 @@ def build_stages(
         return fused_signatures(
             load_clips(spark), txt, idc,
             shingle_size=cfg.shingle_size, num_perm=cfg.num_perm,
-            keep_shingles=True, substring_length=cfg.substring_length,
+            keep_shingles=cfg.keep_shingles,
+            substring_length=cfg.substring_length,
             winnow_window=cfg.winnow_window,
         )
 
@@ -111,7 +118,13 @@ def build_stages(
             signatures, idc,
             bands=cfg.bands, rows_per_band=cfg.rows_per_band, bucket_cap=cfg.bucket_cap,
         )
-        return mh.verify_jaccard(cand, signatures, idc, threshold=cfg.jaccard_threshold)
+        if cfg.keep_shingles:
+            return mh.verify_jaccard(
+                cand, signatures, idc, threshold=cfg.jaccard_threshold
+            )
+        return mh.estimated_jaccard(
+            cand, signatures, idc, threshold=cfg.jaccard_threshold
+        ).withColumnRenamed("jaccard_est", "jaccard")
 
     def stage_simhash_pairs(spark: SparkSession, signatures: DataFrame):
         # salt buckets above bucket_cap/4 (load spreading, full recall up
@@ -272,9 +285,13 @@ def run_near_dup_pipeline(
     workdir: str,
     cfg: NearDupConfig | None = None,
     force: bool = False,
+    use_snapshots: bool = False,
 ) -> tuple[DataFrame, dict]:
-    """Run (or resume) the full pipeline; returns (clusters_df, manifests)."""
+    """Run (or resume) the full pipeline; returns (clusters_df, manifests).
+
+    ``use_snapshots=True`` commits every stage through the snapshot table
+    layer (atomic snapshots, time travel, Iceberg-shaped deployment)."""
     cfg = cfg or NearDupConfig()
-    runner = StageRunner(spark, workdir)
+    runner = StageRunner(spark, workdir, use_snapshots=use_snapshots)
     manifests = runner.run(build_stages(clips_path, cfg, workdir), force=force)
     return runner.load("clusters"), manifests

@@ -42,7 +42,8 @@ def test_clustering_never_reads_audio_payload(spark, clips_path, tmp_path):
     sig_df = stages[0].build(spark)
     plan = plan_of(sig_df)
     assert "bytes" not in plan, "signatures stage reads the audio payload"
-    edges_df = stages[1].build(spark, signatures=sig_df)
+    built = stages[1].build(spark, signatures=sig_df)
+    edges_df = built[0] if isinstance(built, tuple) else built
     assert "bytes" not in plan_of(edges_df), "edges stage reads the audio payload"
 
 

@@ -107,3 +107,63 @@ def test_snapshot_based_incremental_dedup_resume(spark, tmp_path):
     # final table: y is NOT double-counted (merge kept one row per hash)
     n_distinct = hashes.read().select("hash").distinct().count()
     assert hashes.rows() == n_distinct
+
+
+def test_stage_runner_on_snapshot_backend(spark, tmp_path):
+    """StageRunner(use_snapshots=True): same resume semantics, plus a
+    force re-run commits a NEW snapshot while the previous stage output
+    stays readable (time travel)."""
+    from cc_net_spark.plans.dag import Stage, StageRunner
+
+    calls = {"n": 0}
+
+    def build(s):
+        calls["n"] += 1
+        return s.range(0, 10 + calls["n"])  # content differs per run
+
+    r = StageRunner(spark, tmp_path / "w", use_snapshots=True)
+    m1 = r.run([Stage("nums", build)])
+    assert m1["nums"]["rows"] == 11 and m1["nums"]["snapshot_id"] == 1
+    # re-run skips (manifest + snapshot lineage intact)
+    m2 = r.run([Stage("nums", build)])
+    assert m2["nums"].get("skipped") and calls["n"] == 1
+    # force: new snapshot, old one still readable
+    m3 = r.run([Stage("nums", build)], force=True)
+    assert m3["nums"]["rows"] == 12 and m3["nums"]["snapshot_id"] == 2
+    t = SnapshotTable(spark, tmp_path / "w" / "nums")
+    assert t.read(snapshot_id=1).count() == 11
+    assert r.load("nums").count() == 12
+
+
+def test_pipeline_on_snapshot_backend_matches_plain(spark, tmp_path):
+    from cc_net_spark.plans.pipeline import NearDupConfig, run_near_dup_pipeline
+    from cc_net_spark.sources import synth
+
+    p = tmp_path / "clips.parquet"
+    synth.generate_clips(spark, 48, seed=42, with_audio=False).write.parquet(str(p))
+    cfg = NearDupConfig(include_exact_hashes=False)
+    plain, _ = run_near_dup_pipeline(spark, str(p), str(tmp_path / "a"), cfg)
+    snap, m = run_near_dup_pipeline(
+        spark, str(p), str(tmp_path / "b"), cfg, use_snapshots=True
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in snap.collect()}
+    assert m["clusters"]["snapshot_id"] == 1
+
+
+def test_pipeline_estimated_jaccard_path(spark, tmp_path):
+    """keep_shingles=False (extreme-scale config): signature-estimated
+    Jaccard verification yields the same planted clusters."""
+    from cc_net_spark.plans.pipeline import NearDupConfig, run_near_dup_pipeline
+    from cc_net_spark.sources import synth
+
+    n = 64
+    p = tmp_path / "clips.parquet"
+    synth.generate_clips(spark, n, seed=42, with_audio=False).write.parquet(str(p))
+    cfg = NearDupConfig(include_exact_hashes=False, keep_shingles=False)
+    clusters, _ = run_near_dup_pipeline(spark, str(p), str(tmp_path / "w"), cfg)
+    got = {r["clip_id"]: r["cluster_id"] for r in clusters.collect()}
+    exp = {
+        r["clip_id"]: r["cluster_id"]
+        for r in synth.expected_clusters(spark, n).collect()
+    }
+    assert got == exp
