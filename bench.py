@@ -359,6 +359,17 @@ def main() -> None:
         queries_df = emb.filter(F.col("vec_id") < 64)
         t, _ = timed(lambda: ann.brute_force_topk_matmul(queries_df, emb, k=10).count())
         timings["ann_matmul_topk"] = round(t, 3)
+
+        # payload-level near-dup passes (the modality triple): each is a
+        # full decode -> fingerprint -> bucket join -> exact verify run
+        # over its planted synthetic corpus (self-sized from SF_DIR)
+        t, n_a = timed(lambda: Q.q_audio_near_dup(spark, SF_DIR).count())
+        timings["audio_near_dup"] = round(t, 3)
+        t, n_i = timed(lambda: Q.q_image_near_dup(spark, SF_DIR).count())
+        timings["image_near_dup"] = round(t, 3)
+        t, n_v = timed(lambda: Q.q_video_near_dup(spark, SF_DIR).count())
+        timings["video_near_dup"] = round(t, 3)
+        extras["multimodal_pairs"] = {"audio": n_a, "image": n_i, "video": n_v}
     finally:
         spark.stop()
 

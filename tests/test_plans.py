@@ -121,3 +121,12 @@ def test_partition_pruning_on_routed_output(spark, tmp_path):
     seg = plan.split("PartitionFilters")
     assert len(seg) > 1 and "lang" in seg[1][:200], "partition filter not pushed"
     assert got.count() == 333
+
+
+def test_regional_revenue_broadcasts_both_dims(spark):
+    """TPC-H Q5-shaped rollup: region AND nation must broadcast (the
+    explicit hints pin what AQE would pick at scale)."""
+    from cc_net_spark import queries as Q
+
+    plan = plan_of(Q.q_regional_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2 or plan.count("BroadcastHashJoin") >= 2
