@@ -1,0 +1,72 @@
+"""``python -m cc_net_spark`` — the reference's CLI surface
+(``cc_net/__main__.py:13-14`` routes to mine; ``cc_net/jsonql.py:1338``
+is the ad-hoc surface), re-expressed over Spark:
+
+    python -m cc_net_spark mine --input docs.parquet --output out/ \
+        [--text-col raw_content] [--id-col doc_id] [--langs en,de] \
+        [--keep-tail]
+    python -m cc_net_spark jsonql where '{lang}=="en"' -- select doc_id \
+        --file in.jsonl --output out.parquet
+
+`mine` runs the reference's default pipeline (dedup -> lid -> keep_lang
+-> sp -> lm -> pp_bucket -> drop -> minify -> split_by_lang,
+``cc_net/mine.py:36-45``) and writes docs partitioned by (lang, bucket)
+plus the minified metadata table at ``<output>/metadata``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _mine(argv: list[str]) -> None:
+    p = argparse.ArgumentParser(prog="cc_net_spark mine")
+    p.add_argument("--input", required=True, help="input docs parquet")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--text-col", default="raw_content")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--langs", default=None, help="comma-separated keep_lang list")
+    p.add_argument("--keep-tail", action="store_true",
+                   help="do not drop the tail perplexity bucket")
+    p.add_argument("--lid-model", default=None)
+    p.add_argument("--sp-model", default=None)
+    p.add_argument("--lm-model", default=None)
+    a = p.parse_args(argv)
+
+    from cc_net_spark.plans.mine import mine
+    from cc_net_spark.session import get_spark
+
+    spark = get_spark(app_name="cc_net_spark_mine")
+    docs = spark.read.parquet(a.input)
+    out = mine(
+        spark, docs,
+        text_col=a.text_col, id_col=a.id_col,
+        langs=a.langs.split(",") if a.langs else None,
+        drop_tail=not a.keep_tail,
+        lid_model=a.lid_model, sp_model=a.sp_model, lm_model=a.lm_model,
+        output_path=f"{a.output}/docs",
+    )
+    out["metadata"].write.mode("overwrite").parquet(f"{a.output}/metadata")
+    print(f"mine: wrote {a.output}/docs (split by lang/bucket) and "
+          f"{a.output}/metadata")
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "mine":
+        _mine(rest)
+    elif cmd == "jsonql":
+        from cc_net_spark.jsonql_cli import main as jsonql_main
+
+        jsonql_main(rest)
+    else:
+        raise SystemExit(f"unknown command: {cmd} (mine|jsonql)")
+
+
+if __name__ == "__main__":
+    main()

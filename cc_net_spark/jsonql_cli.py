@@ -1,0 +1,171 @@
+"""`jsonql`-style ad-hoc CLI — the reference's second entry point
+(``cc_net/jsonql.py:1338-1340``, parser at ``:81-150``), re-expressed as
+DataFrame plans so Catalyst owns pushdown/pruning.
+
+Usage (mirrors the reference's ``--``-separated pipeline groups,
+``cc_net/jsonql.py:153-183``):
+
+    python -m cc_net_spark.jsonql_cli \
+        where '{lang}=="en"' -- select doc_id n_chars \
+        --file in.parquet --output out.parquet
+
+Commands (reference: select|where|merge|describe|split|shard):
+
+* ``select f1 f2 ...``      column projection (``jsonql.py:585-605``)
+* ``where EXPR``            filter; the reference's ``{field}`` expression
+                            language (``jsonql.py:602-618`` compiles it to
+                            an eval'd lambda) is translated to a Spark SQL
+                            predicate — declarative instead of eval
+* ``describe [f1 f2 ...]``  per-column profile (``jsonql.py:840-884``)
+* ``split FIELD``           route rows into one output per field value
+                            (``jsonql.py:885-937``) via partitionBy
+* ``shard N``               repartition into N output files
+
+I/O: ``.jsonl``/``.json``/``.jsonl.gz`` via the lenient reader
+(``sources/jsonl.py``), anything else as Parquet. The reference's
+``processes=N`` flag has no analogue — parallelism is the cluster's.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_JSON_EXTS = (".jsonl", ".json", ".jsonl.gz", ".json.gz")
+
+
+def translate_expr(expr: str) -> str:
+    """Translate the reference's ``{field}`` mini-language into a Spark
+    SQL predicate: ``{lang}=="en" and {n_chars}>=100`` ->
+    ``(`lang`) = ("en") AND (`n_chars`) >= (100)``.
+
+    Supported (the subset the reference's docs/tests use,
+    ``cc_net/jsonql.py:602-618``): field refs ``{name}`` (dots for nested
+    fields), comparison operators, and/or/not, in, arithmetic. Python's
+    ``==``/``!=`` map to SQL ``=``/``<>``; and/or/not pass through (valid
+    SQL). Anything else is handed to Spark SQL as-is — an invalid
+    expression fails analysis loudly instead of being eval'd."""
+    import re
+
+    out = re.sub(r"\{([A-Za-z0-9_.]+)\}", lambda m: f"`{m.group(1)}`", expr)
+    out = re.sub(r"(?<![<>!=])==", "=", out)
+    out = out.replace("!=", "<>")
+    return out
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    if path.endswith(_JSON_EXTS):
+        from cc_net_spark.sources.jsonl import read_jsonl
+
+        clean, _metrics = read_jsonl(spark, path)
+        return clean
+    return spark.read.parquet(path)
+
+
+def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    fmt = "json" if path.endswith(_JSON_EXTS) else "parquet"
+    if partition_by:
+        from cc_net_spark.sources.sinks import write_partitioned
+
+        write_partitioned(df, path, partition_by, fmt=fmt)
+    elif fmt == "json":
+        from cc_net_spark.sources.sinks import write_jsonl
+
+        write_jsonl(df, path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def _split_groups(argv: list[str]) -> list[list[str]]:
+    """Split argv on standalone ``--`` (``cc_net/jsonql.py:153-161``)."""
+    groups: list[list[str]] = [[]]
+    for a in argv:
+        if a == "--":
+            groups.append([])
+        else:
+            groups[-1].append(a)
+    return [g for g in groups if g]
+
+
+def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile: n_present / n_distinct / total chars (the
+    jsonql `describe` shape, ``cc_net/jsonql.py:840-884``)."""
+    cols = cols or df.columns
+    outs = []
+    for c in cols:
+        outs.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.col(c)).alias("n_present"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+                F.sum(F.length(F.col(c).cast("string"))).alias("total_chars"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def apply_command(df: DataFrame, cmd: list[str]):
+    """-> (df, partition_by | None). One reference pipe group."""
+    verb, args = cmd[0], cmd[1:]
+    if verb == "select":
+        return df.select(*args), None
+    if verb == "where":
+        assert len(args) == 1, "where takes exactly one expression"
+        return df.filter(F.expr(translate_expr(args[0]))), None
+    if verb == "describe":
+        return describe(df, args or None), None
+    if verb == "split":
+        assert len(args) == 1, "split takes exactly one field"
+        return df, [args[0]]
+    if verb == "shard":
+        assert len(args) == 1, "shard takes exactly one partition count"
+        return df.repartition(int(args[0])), None
+    raise SystemExit(f"unknown command: {verb} (select|where|describe|split|shard)")
+
+
+def run(
+    spark: SparkSession,
+    argv: list[str],
+    df: DataFrame | None = None,
+) -> tuple[DataFrame, str | None, list[str] | None]:
+    """Parse + build the plan. Returns (df, output_path, partition_by).
+    Exposed for tests; ``main`` executes the write/show."""
+    file_path = output = None
+    flat: list[str] = []
+    it = iter(argv)
+    for a in it:
+        if a == "--file":
+            file_path = next(it)
+        elif a == "--output":
+            output = next(it)
+        else:
+            flat.append(a)
+    if df is None:
+        assert file_path, "--file is required"
+        df = _read(spark, file_path)
+    partition_by = None
+    for group in _split_groups(flat):
+        df, pb = apply_command(df, group)
+        partition_by = pb or partition_by
+    return df, output, partition_by
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    from cc_net_spark.session import get_spark
+
+    spark = get_spark(app_name="cc_net_spark_jsonql")
+    df, output, partition_by = run(spark, argv)
+    if output:
+        _write(df, output, partition_by)
+    else:
+        df.show(50, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
