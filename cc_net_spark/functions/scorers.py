@@ -16,6 +16,8 @@ per-row Python, per the input contract.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -111,6 +113,64 @@ def tokenize(
         return _sp_tokenize(df, text_col, model_path, out_col)
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
     return df.withColumn(out_col, F.array_join(toks, " "))
+
+
+def sacremoses_available() -> bool:
+    try:
+        import sacremoses  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def robust_tokenize(
+    df: DataFrame, text_col: str, *, lang: str = "en", out_col: str = "tokenized"
+) -> DataFrame:
+    """``RobustTokenizer`` parity (``cc_net/tokenizer.py:15-32``): the
+    EXACT reference preprocessing — ``normalize(accent=lang in {en,my},
+    case=False, numbers=False, punct=True)`` then
+    ``normalize_spacing_for_tok`` (both byte-parity ports in
+    functions/normalize.py) — followed by Moses tokenization when
+    sacremoses is importable, else the regex token split. The
+    preprocessing is the reference-defined part; only the final Moses
+    split is a gated backend."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from cc_net_spark.functions.normalize import (
+        normalize as _norm,
+        normalize_spacing_for_tok as _spacing,
+    )
+
+    rm_accent = lang in ("en", "my")  # RobustTokenizer.LANG_WITHOUT_ACCENT
+    use_moses = sacremoses_available()
+    fields = ", ".join(f"{c.name} {c.dataType.simpleString()}" for c in df.schema)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        moses = None
+        if use_moses:
+            import sacremoses
+
+            moses = sacremoses.MosesTokenizer(lang)
+        tok_re = re.compile(TOKEN_REGEX)
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for t in pdf[text_col]:
+                t = _norm(
+                    t or "", accent=rm_accent, case=False, numbers=False, punct=True
+                )
+                t = _spacing(t, language=lang)
+                if moses is not None:
+                    out.append(moses.tokenize(t, return_str=True, escape=False))
+                else:
+                    out.append(" ".join(tok_re.findall(t)))
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(encode, schema=f"{fields}, {out_col} string")
 
 
 def _sp_tokenize(df: DataFrame, text_col: str, model_path: str, out_col: str) -> DataFrame:

@@ -215,3 +215,22 @@ def test_extract_and_unique_sentences(spark):
     assert uniq["First one."] == (1, 0, 0)  # keep-first wins over doc 2
     assert "Brand new sentence here." in uniq
     assert len(uniq) == 4
+
+
+def test_robust_tokenize_reference_preprocessing(spark):
+    """RobustTokenizer parity (cc_net/tokenizer.py:15-32): the reference
+    preprocessing (punct normalize + spacing-for-tok) runs before the
+    (gated) Moses split — the fallback must still show its effects."""
+    from cc_net_spark.functions.scorers import robust_tokenize
+
+    df = spark.createDataFrame(
+        [(1, "«Hello…»  it's 100 000 km"),
+         (2, None)],
+        "id long, text string",
+    )
+    got = {r["id"]: r["tokenized"] for r in robust_tokenize(df, "text").collect()}
+    # unicode punct normalized («» -> quotes, … -> ..., narrow nbsp -> dot
+    # in numbers per the Moses chain), text survives tokenization
+    assert "«" not in got[1] and "…" not in got[1]
+    assert "Hello" in got[1]
+    assert got[2] == ""
