@@ -42,17 +42,27 @@ def translate_expr(expr: str) -> str:
     ``(`lang`) = ("en") AND (`n_chars`) >= (100)``.
 
     Supported (the subset the reference's docs/tests use,
-    ``cc_net/jsonql.py:602-618``): field refs ``{name}`` (dots for nested
-    fields), comparison operators, and/or/not, in, arithmetic. Python's
-    ``==``/``!=`` map to SQL ``=``/``<>``; and/or/not pass through (valid
-    SQL). Anything else is handed to Spark SQL as-is — an invalid
-    expression fails analysis loudly instead of being eval'd."""
+    ``cc_net/jsonql.py:602-618``): field refs ``{name}`` (dots access
+    nested struct fields: ``{meta.score}`` becomes `` `meta`.`score` ``),
+    comparison operators, and/or/not, in, arithmetic. Python's
+    ``==``/``!=`` map to SQL ``=``/``<>`` — OUTSIDE string literals only
+    (a literal like ``"a==b"`` passes through untouched); and/or/not
+    pass through (valid SQL). Anything else is handed to Spark SQL
+    as-is — an invalid expression fails analysis loudly instead of
+    being eval'd."""
     import re
 
-    out = re.sub(r"\{([A-Za-z0-9_.]+)\}", lambda m: f"`{m.group(1)}`", expr)
-    out = re.sub(r"(?<![<>!=])==", "=", out)
-    out = out.replace("!=", "<>")
-    return out
+    def field_ref(m: re.Match) -> str:
+        # each dotted segment quoted separately: {meta.score} must resolve
+        # the nested struct field, not a top-level column named "meta.score"
+        return ".".join(f"`{p}`" for p in m.group(1).split("."))
+
+    out = re.sub(r"\{([A-Za-z0-9_.]+)\}", field_ref, expr)
+    # rewrite ==/!= only OUTSIDE quoted string literals
+    parts = re.split(r"(\"[^\"]*\"|'[^']*')", out)
+    for i in range(0, len(parts), 2):  # even indices = outside literals
+        parts[i] = re.sub(r"(?<![<>!=])==", "=", parts[i]).replace("!=", "<>")
+    return "".join(parts)
 
 
 def _read(spark: SparkSession, path: str) -> DataFrame:
@@ -91,22 +101,33 @@ def _split_groups(argv: list[str]) -> list[list[str]]:
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Per-column profile: n_present / n_distinct / total chars (the
-    jsonql `describe` shape, ``cc_net/jsonql.py:840-884``)."""
+    jsonql `describe` shape, ``cc_net/jsonql.py:840-884``).
+
+    ONE aggregation over ONE scan (Catalyst plans the multiple distinct
+    aggregates via Expand) — a per-column agg+union would scan the source
+    once per column — then the single wide row is pivoted back to one row
+    per column with an explode of literal structs."""
     cols = cols or df.columns
-    outs = []
-    for c in cols:
-        outs.append(
-            df.agg(
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"_p{i}"),
+            F.countDistinct(F.col(c)).alias(f"_d{i}"),
+            F.sum(F.length(F.col(c).cast("string"))).alias(f"_t{i}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column"),
-                F.count(F.col(c)).alias("n_present"),
-                F.countDistinct(F.col(c)).alias("n_distinct"),
-                F.sum(F.length(F.col(c).cast("string"))).alias("total_chars"),
+                F.col(f"_p{i}").alias("n_present"),
+                F.col(f"_d{i}").alias("n_distinct"),
+                F.col(f"_t{i}").alias("total_chars"),
             )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
 def apply_command(df: DataFrame, cmd: list[str]):
@@ -115,15 +136,18 @@ def apply_command(df: DataFrame, cmd: list[str]):
     if verb == "select":
         return df.select(*args), None
     if verb == "where":
-        assert len(args) == 1, "where takes exactly one expression"
+        if len(args) != 1:
+            raise SystemExit("where takes exactly one expression")
         return df.filter(F.expr(translate_expr(args[0]))), None
     if verb == "describe":
         return describe(df, args or None), None
     if verb == "split":
-        assert len(args) == 1, "split takes exactly one field"
+        if len(args) != 1:
+            raise SystemExit("split takes exactly one field")
         return df, [args[0]]
     if verb == "shard":
-        assert len(args) == 1, "shard takes exactly one partition count"
+        if len(args) != 1:
+            raise SystemExit("shard takes exactly one partition count")
         return df.repartition(int(args[0])), None
     raise SystemExit(f"unknown command: {verb} (select|where|describe|split|shard)")
 
@@ -139,14 +163,20 @@ def run(
     flat: list[str] = []
     it = iter(argv)
     for a in it:
-        if a == "--file":
-            file_path = next(it)
-        elif a == "--output":
-            output = next(it)
+        if a in ("--file", "--output"):
+            try:
+                val = next(it)
+            except StopIteration:
+                raise SystemExit(f"{a} requires a value") from None
+            if a == "--file":
+                file_path = val
+            else:
+                output = val
         else:
             flat.append(a)
     if df is None:
-        assert file_path, "--file is required"
+        if not file_path:
+            raise SystemExit("--file is required")
         df = _read(spark, file_path)
     partition_by = None
     for group in _split_groups(flat):

@@ -91,32 +91,15 @@ def _scan_files(files: list[Path], rel_to: Path) -> tuple[int, list[dict]]:
 
 
 def _scan_parquet_dir(path: Path) -> tuple[int, list[dict]]:
-    """(total_rows, per-file partition records) from Parquet footers only —
-    metadata reads, no Spark job, no data IO."""
-    import pyarrow.parquet as pq
+    """(total_rows, per-file partition records) from Parquet footers only.
 
-    parts: list[dict] = []
-    total = 0
-    # rglob: a stage written with partitionBy() nests its files under
-    # key=value directories — a top-level-only glob would commit rows=0
-    # and an empty fingerprint, silently corrupting downstream skips
-    for f in sorted(path.rglob("*.parquet")):
-        md = pq.ParquetFile(f).metadata
-        parts.append(
-            {
-                "file": f.name,
-                "rows": md.num_rows,
-                "bytes": f.stat().st_size,
-                "stats": _footer_stats_digest(md),
-            }
-        )
-        total += md.num_rows
-    if not parts:
-        raise RuntimeError(
-            f"stage output {path} contains no parquet files — refusing to "
-            "commit an empty-listing manifest"
-        )
-    return total, parts
+    rglob: a stage written with partitionBy() nests its files under
+    key=value directories — a top-level-only glob would commit rows=0 and
+    an empty fingerprint, silently corrupting downstream skips. File
+    records carry the path RELATIVE to the stage dir so identically-named
+    part files in different partition dirs stay distinguishable in
+    partition_metrics()."""
+    return _scan_files(sorted(path.rglob("*.parquet")), path)
 
 
 def fingerprint_listing(parts: list[dict]) -> str:
@@ -214,7 +197,12 @@ class StageRunner:
         if m is None:
             return False
         if self.use_snapshots:
-            if self._table(stage.name).current_snapshot_id() is None:
+            # the manifest must describe the table's CURRENT snapshot: a
+            # table advanced out-of-band (sanctioned append/merge through
+            # SnapshotTable, or a crash between the snapshot commit and
+            # the manifest write) would otherwise be skipped while
+            # load() serves data the recorded lineage never saw
+            if m.get("snapshot_id") != self._table(stage.name).current_snapshot_id():
                 return False
         elif not (self.data_path(stage.name) / "_SUCCESS").exists():
             return False

@@ -516,22 +516,13 @@ SQL_SELECT_WHERE = """
 
 
 def q_describe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset profiling à la jsonql `describe` (``cc_net/jsonql.py:840-884``)."""
+    """Dataset profiling à la jsonql `describe` (``cc_net/jsonql.py:840-884``)
+    — ONE aggregation over ONE scan (the per-column agg+union shape read
+    the source once per column), pivoted to one row per column."""
+    from cc_net_spark.jsonql_cli import describe
+
     docs = load(spark, sf_dir, "documents")
-    outs = []
-    for c in ["text", "lang", "source"]:
-        outs.append(
-            docs.agg(
-                F.lit(c).alias("column"),
-                F.count(F.col(c)).alias("n_present"),
-                F.countDistinct(F.col(c)).alias("n_distinct"),
-                F.sum(F.length(F.col(c))).alias("total_chars"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return describe(docs, ["text", "lang", "source"])
 
 
 # all aggregates CAST to BIGINT: DuckDB's sum() over integers yields

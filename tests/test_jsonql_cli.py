@@ -27,7 +27,39 @@ def test_translate_expr():
     got = cli.translate_expr('{lang}=="en" and {n_chars}>=60')
     assert "`lang`" in got and "=" in got and "<>" not in got
     assert cli.translate_expr("{a}!={b}") == "`a`<>`b`"
-    assert cli.translate_expr("{meta.score} >= 0.5") == "`meta.score` >= 0.5"
+    # dotted refs quote each segment (nested struct access, not a
+    # top-level column literally named "meta.score")
+    assert cli.translate_expr("{meta.score} >= 0.5") == "`meta`.`score` >= 0.5"
+    # operators inside string literals are NOT rewritten
+    assert cli.translate_expr('{t}=="a==b"') == '`t`="a==b"'
+    assert cli.translate_expr("{t}!='x!=y'") == "`t`<>'x!=y'"
+
+
+def test_where_on_nested_field(spark, tmp_path):
+    import json as _json
+
+    p = tmp_path / "nested.jsonl"
+    p.write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "meta": {"score": i / 10.0}}) for i in range(10)
+        )
+    )
+    df, _, _ = cli.run(
+        spark, ["where", "{meta.score} >= 0.5", "--", "select", "doc_id",
+                "--file", str(p)]
+    )
+    assert sorted(r["doc_id"] for r in df.collect()) == [5, 6, 7, 8, 9]
+
+
+def test_cli_argument_errors():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.run(None, ["select", "doc_id", "--file"])
+    with _pytest.raises(SystemExit):
+        cli.run(None, ["select", "doc_id"])  # no --file, no df
+    with _pytest.raises(SystemExit):
+        cli.apply_command(None, ["frobnicate"])
 
 
 def test_where_select_pipeline(spark, docs_jsonl):

@@ -167,3 +167,19 @@ def test_pipeline_estimated_jaccard_path(spark, tmp_path):
         for r in synth.expected_clusters(spark, n).collect()
     }
     assert got == exp
+
+
+def test_stage_runner_detects_out_of_band_snapshot_advance(spark, tmp_path):
+    """A stage table advanced outside the runner (sanctioned append via
+    SnapshotTable) must NOT be skipped with stale lineage: is_complete
+    compares the manifest's snapshot_id against CURRENT."""
+    from cc_net_spark.plans.dag import Stage, StageRunner
+
+    r = StageRunner(spark, tmp_path / "w", use_snapshots=True)
+    r.run([Stage("nums", lambda s: s.range(0, 5))])
+    # out-of-band advance
+    t = SnapshotTable(spark, tmp_path / "w" / "nums")
+    t.append(spark.range(100, 103))
+    m = r.run([Stage("nums", lambda s: s.range(0, 5))])
+    assert not m["nums"].get("skipped")  # re-ran, did not serve stale lineage
+    assert r.load("nums").count() == 5
