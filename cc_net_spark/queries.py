@@ -1457,6 +1457,90 @@ SQL_EVENTS_PROPS = """
 """
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup over two arriving shards of ``documents``
+    (even doc_ids arrive first, odd second): the second shard probes the
+    PERSISTED LSH state — history text is never re-read, verification is
+    signature-estimated Jaccard (``streaming/incremental_neardup.py``).
+
+    Oracle: a full SQL re-derivation from the exported state tables the
+    handler persisted (bands + signatures): within-batch bucket self-join
+    with the 200-cap, the asymmetric history probe with its per-bucket
+    row_number cap, and the agreeing-minhash fraction recomputed per pair
+    in DuckDB (k/128 is exact in float64 on both engines).
+    """
+    from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
+
+    base = f"{ORACLE_EXPORT}/incnd"
+    _shutil.rmtree(base, ignore_errors=True)  # fresh state per invocation
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nd = IncrementalNearDup(
+        f"{base}/state", f"{base}/out", text_col="text", id_col="doc_id"
+    )
+    nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    nd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    return spark.read.parquet(f"{base}/out/pairs").select(
+        F.col("_batch_id").cast("int").alias("batch"),
+        "id_a",
+        "id_b",
+        "kind",
+        "jaccard_est",
+    )
+
+
+def _sql_incremental_near_dup() -> str:
+    return f"""
+  WITH b AS (SELECT doc_id, band, key, CAST(_batch_id AS INT) AS bat
+             FROM read_parquet('{ORACLE_EXPORT}/incnd/state/bands/*/*.parquet',
+                               hive_partitioning = 1)),
+  sigs AS (SELECT doc_id, sig, CAST(_batch_id AS INT) AS bat
+           FROM read_parquet('{ORACLE_EXPORT}/incnd/state/sigs/*/*.parquet',
+                             hive_partitioning = 1)),
+  sz AS (SELECT bat, band, key, count(*) AS n FROM b GROUP BY bat, band, key),
+  within_cand AS (
+    SELECT DISTINCT l.bat, l.doc_id AS id_a, r.doc_id AS id_b
+    FROM b l
+    JOIN b r ON l.bat = r.bat AND l.band = r.band AND l.key = r.key
+            AND l.doc_id < r.doc_id
+    JOIN sz s ON s.bat = l.bat AND s.band = l.band AND s.key = l.key
+    WHERE s.n BETWEEN 2 AND 200
+  ),
+  hist_m AS (
+    SELECT h.band, h.key, h.doc_id AS id_old,
+           row_number() OVER (PARTITION BY h.band, h.key ORDER BY h.doc_id) AS rn
+    FROM b h
+    JOIN (SELECT DISTINCT band, key FROM b WHERE bat = 1) nk
+      ON h.band = nk.band AND h.key = nk.key
+    WHERE h.bat = 0
+  ),
+  cross_cand AS (
+    SELECT DISTINCT n.doc_id AS id_a, h.id_old AS id_b
+    FROM (SELECT * FROM b WHERE bat = 1) n
+    JOIN hist_m h ON n.band = h.band AND n.key = h.key AND h.rn <= 200
+    WHERE n.doc_id <> h.id_old
+  ),
+  allc AS (
+    SELECT bat, id_a, id_b, 'within' AS kind FROM within_cand
+    UNION ALL
+    SELECT CAST(1 AS INT) AS bat, id_a, id_b, 'history' AS kind FROM cross_cand
+  ),
+  est AS (
+    SELECT c.bat AS batch, c.id_a, c.id_b, c.kind,
+           round((SELECT count(*)
+                  FROM unnest(range(len(sa.sig))) AS t(i)
+                  WHERE list_extract(sa.sig, CAST(t.i AS INT) + 1)
+                      = list_extract(sb.sig, CAST(t.i AS INT) + 1))::DOUBLE
+                 / len(sa.sig), 6) AS jaccard_est
+    FROM allc c
+    JOIN sigs sa ON sa.doc_id = c.id_a AND sa.bat = c.bat
+    JOIN sigs sb ON sb.doc_id = c.id_b
+                AND sb.bat = CASE WHEN c.kind = 'history' THEN 0 ELSE c.bat END
+  )
+  SELECT batch, id_a, id_b, kind, jaccard_est
+  FROM est WHERE jaccard_est >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1506,6 +1590,7 @@ def registry():
         "audio_frame_sample": q_audio_frame_sample,
         "image_near_dup": q_image_near_dup,
         "video_near_dup": q_video_near_dup,
+        "incremental_near_dup": q_incremental_near_dup,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -1555,5 +1640,7 @@ def registry():
         "audio_frame_sample": SQL_AUDIO_FRAME_SAMPLE,
         "image_near_dup": SQL_IMAGE_NEAR_DUP,
         "video_near_dup": SQL_VIDEO_NEAR_DUP,
+        # round-3 continuation: streaming LSH state re-derived in SQL
+        "incremental_near_dup": _sql_incremental_near_dup(),
     }
     return q, o

@@ -1,0 +1,208 @@
+"""Incremental NEAR-duplicate detection over arriving shards.
+
+The batch pipeline (``plans/pipeline.py``) re-derives all pairs from the
+whole corpus; at 10^12 clips an arriving shard cannot afford that. This
+module keeps the MinHash/LSH state — signatures and band keys — in
+append-only ``_batch_id``-partitioned tables (the same replay-idempotent
+layout as ``streaming/incremental.py``) and, per micro-batch:
+
+1. ONE narrow mapInPandas computes the batch's signatures
+   (``keep_shingles=False`` — the extreme-scale mode: history text is
+   NEVER re-read; verification uses signature-estimated Jaccard),
+2. within-batch candidates via the skew-capped bucket self-join,
+3. history candidates via an asymmetric probe: the batch's distinct
+   band keys (small — broadcast) select matching history band rows,
+   a per-bucket row_number cap bounds a hot boilerplate key, then the
+   matched history rows join back to the batch side — history is
+   touched ONLY on matching keys, never self-joined,
+4. both candidate sets verify on estimated Jaccard (agreeing-minhash
+   fraction) — batch sigs are in memory, history sigs join on the
+   (few) matched ids,
+5. outputs (verified pairs + per-clip dup flags) and state appends are
+   written with dynamic partition overwrite keyed by ``_batch_id`` —
+   at-least-once foreachBatch replay rewrites only its own partitions,
+   and the history probe's ``_batch_id < current`` filter keeps a
+   half-written attempt invisible.
+
+Keep-first semantics match the exact incremental path: a clip is a
+near-dup iff it matches an EARLIER batch, or a smaller id within its own
+batch. Reference anchor: cc_net's hash-table merge across shards
+(``cc_net/dedup.py:92-124``) generalized from exact SHA1 paragraphs to
+MinHash near-duplicates. With an Iceberg catalog the state appends
+become snapshot commits (see ``sources/snapshots.py``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cc_net_spark.operators.minhash import lsh_bands, shingle_signatures
+from cc_net_spark.operators.pairs import candidate_pairs
+
+
+class IncrementalNearDup:
+    """foreachBatch handler holding the persistent LSH-state locations."""
+
+    def __init__(
+        self,
+        state_path: str,
+        output_path: str,
+        *,
+        text_col: str = "transcript",
+        id_col: str = "clip_id",
+        shingle_size: int = 5,
+        num_perm: int = 128,
+        bands: int = 32,
+        rows_per_band: int = 4,
+        threshold: float = 0.5,
+        bucket_cap: int = 200,
+    ):
+        self.sigs_path = str(Path(state_path) / "sigs")
+        self.bands_path = str(Path(state_path) / "bands")
+        self.output_path = output_path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.shingle_size = shingle_size
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self.threshold = threshold
+        self.bucket_cap = bucket_cap
+
+    def _history(self, spark: SparkSession, path: str, before: int) -> DataFrame | None:
+        if not Path(path).exists():
+            return None
+        return spark.read.parquet(path).filter(F.col("_batch_id") < before)
+
+    def _estimated(self, joined: DataFrame) -> DataFrame:
+        agree = F.size(
+            F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+        )
+        est = agree.cast("double") / F.size("_sa").cast("double")
+        return (
+            joined.withColumn("jaccard_est", F.round(est, 6))
+            .filter(F.col("jaccard_est") >= self.threshold)
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        idc = self.id_col
+
+        sig = shingle_signatures(
+            batch,
+            self.text_col,
+            idc,
+            shingle_size=self.shingle_size,
+            num_perm=self.num_perm,
+            keep_shingles=False,
+        ).localCheckpoint()
+        new_bands = lsh_bands(
+            sig, idc, bands=self.bands, rows_per_band=self.rows_per_band
+        ).localCheckpoint()
+
+        # within-batch candidates (skew-capped, id_a < id_b canonical)
+        within = candidate_pairs(
+            new_bands, ["band", "key"], idc, bucket_cap=self.bucket_cap
+        )
+        sig_a = sig.select(F.col(idc).alias("id_a"), F.col("sig").alias("_sa"))
+        sig_b = sig.select(F.col(idc).alias("id_b"), F.col("sig").alias("_sb"))
+        within_ok = self._estimated(within.join(sig_a, "id_a").join(sig_b, "id_b"))
+
+        # history candidates: batch keys (small) select matching history
+        # rows; per-bucket cap bounds hot keys; history never self-joins
+        hist_bands = self._history(spark, self.bands_path, batch_id)
+        cross_ok = None
+        if hist_bands is not None:
+            new_keys = new_bands.select("band", "key").distinct()
+            matched = hist_bands.join(F.broadcast(new_keys), ["band", "key"]).select(
+                "band", "key", F.col(idc).alias("id_old")
+            )
+            w = Window.partitionBy("band", "key").orderBy("id_old")
+            matched = (
+                matched.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= self.bucket_cap)
+                .drop("_rn")
+            )
+            cross = (
+                new_bands.join(matched, ["band", "key"])
+                .select(F.col(idc).alias("id_a"), F.col("id_old").alias("id_b"))
+                .filter(F.col("id_a") != F.col("id_b"))
+                .distinct()
+            )
+            hist_sigs = self._history(spark, self.sigs_path, batch_id)
+            hist_b = hist_sigs.select(F.col(idc).alias("id_b"), F.col("sig").alias("_sb"))
+            cross_ok = self._estimated(cross.join(sig_a, "id_a").join(hist_b, "id_b"))
+
+        pairs = within_ok.select("id_a", "id_b", "jaccard_est").withColumn(
+            "kind", F.lit("within")
+        )
+        if cross_ok is not None:
+            pairs = pairs.unionByName(
+                cross_ok.select("id_a", "id_b", "jaccard_est").withColumn(
+                    "kind", F.lit("history")
+                )
+            )
+        pairs = pairs.localCheckpoint()
+
+        # keep-first flags: dup iff matched history, or the LARGER id of a
+        # within-batch pair (candidate_pairs canonicalizes id_a < id_b)
+        dup_ids = (
+            pairs.filter(F.col("kind") == "history").select(F.col("id_a").alias(idc))
+            .unionByName(
+                pairs.filter(F.col("kind") == "within").select(F.col("id_b").alias(idc))
+            )
+            .distinct()
+            .withColumn("_dup", F.lit(True))
+        )
+        flags = (
+            sig.select(idc)
+            .join(dup_ids, idc, "left")
+            .select(idc, F.coalesce("_dup", F.lit(False)).alias("is_near_dup"))
+        )
+
+        def write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+        write(pairs, str(Path(self.output_path) / "pairs"))
+        write(flags, str(Path(self.output_path) / "flags"))
+        # state appends LAST: a crash before this point leaves no state,
+        # and the replay rewrites only this batch's partitions
+        write(sig.select(idc, "n_shingles", "sig"), self.sigs_path)
+        write(new_bands, self.bands_path)
+
+
+def run_incremental_near_dup(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    state_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Structured Streaming file-source wrapper, AvailableNow trigger —
+    same resumable-batch shape as ``run_incremental_dedup``."""
+    handler = IncrementalNearDup(state_path, output_path, **kwargs)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .json(input_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler.process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,120 @@
+"""Incremental near-dup: arriving shards probe persisted LSH state —
+history text is never re-read, writes are ∝ batch, replay is idempotent."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cc_net_spark.streaming.incremental_neardup import (
+    IncrementalNearDup,
+    run_incremental_near_dup,
+)
+
+WORDS = [f"w{i:02d}" for i in range(40)]
+BASE = " ".join(WORDS)                     # 36 distinct 5-grams
+OTHER = " ".join(f"x{i:02d}" for i in range(40))
+THIRD = " ".join(f"y{i:02d}" for i in range(40))
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "clip_id string, transcript string")
+
+
+def test_cross_batch_and_within_batch_near_dups(spark, tmp_path):
+    nd = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out"))
+
+    nd.process_batch(_batch(spark, [("a0", BASE), ("a1", OTHER)]), 0)
+    flags0 = spark.read.parquet(str(tmp_path / "out" / "flags"))
+    assert {r["is_near_dup"] for r in flags0.collect()} == {False}
+
+    # batch 1: b0 repeats history's BASE (cross-batch dup); d0/d1 repeat
+    # each other AND history's a1 (same OTHER text); c0 is fresh
+    nd.process_batch(
+        _batch(spark, [("b0", BASE), ("c0", THIRD), ("d0", OTHER), ("d1", OTHER)]), 1
+    )
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    # keep-first: every batch-1 clip with an earlier twin is a dup —
+    # d0's first occurrence is history's a1, so d0 is a dup too
+    assert flags == {"b0": True, "c0": False, "d0": True, "d1": True}
+
+    pairs = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in spark.read.parquet(str(tmp_path / "out" / "pairs"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert ("b0", "a0", "history") in pairs
+    assert ("d0", "d1", "within") in pairs
+    # d0/d1 match history's a1 too (same OTHER text)
+    assert ("d0", "a1", "history") in pairs and ("d1", "a1", "history") in pairs
+    assert not any(k == "history" and b in {"b0", "c0", "d0", "d1"} for _, b, k in pairs)
+
+    # state writes ∝ batch (append-only, partitioned by _batch_id)
+    sigs = spark.read.parquet(str(tmp_path / "state" / "sigs"))
+    per_batch = {
+        r["_batch_id"]: r["n"]
+        for r in sigs.groupBy("_batch_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_batch == {0: 2, 1: 4}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    nd = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out"))
+    b0 = _batch(spark, [("a0", BASE), ("a1", OTHER)])
+    b1 = _batch(spark, [("b0", BASE), ("c0", THIRD)])
+    nd.process_batch(b0, 0)
+    nd.process_batch(b1, 1)
+
+    def snapshot():
+        pairs = spark.read.parquet(str(tmp_path / "out" / "pairs"))
+        flags = spark.read.parquet(str(tmp_path / "out" / "flags"))
+        return (
+            sorted(map(tuple, pairs.drop("jaccard_est").collect())),
+            sorted(map(tuple, flags.collect())),
+        )
+
+    first = snapshot()
+    # at-least-once replay of BOTH batches: history filter + dynamic
+    # partition overwrite keep outputs and state byte-stable
+    nd.process_batch(b0, 0)
+    nd.process_batch(b1, 1)
+    assert snapshot() == first
+    assert spark.read.parquet(str(tmp_path / "state" / "sigs")).count() == 4
+    assert (
+        spark.read.parquet(str(tmp_path / "state" / "bands")).count() == 4 * 32
+    )
+
+
+def test_streaming_wrapper_resumes_from_checkpoint(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "s0.json").write_text(
+        json.dumps({"clip_id": "a0", "transcript": BASE})
+        + "\n"
+        + json.dumps({"clip_id": "a1", "transcript": OTHER})
+    )
+    args = (
+        spark,
+        str(inp),
+        "clip_id string, transcript string",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    run_incremental_near_dup(*args)
+    (inp / "s1.json").write_text(json.dumps({"clip_id": "b0", "transcript": BASE}))
+    run_incremental_near_dup(*args)
+
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags")).collect()
+    }
+    assert flags == {"a0": False, "a1": False, "b0": True}
+    # checkpoint means s0 was NOT reprocessed on the second run
+    sigs = spark.read.parquet(str(tmp_path / "state" / "sigs"))
+    assert sigs.count() == 3

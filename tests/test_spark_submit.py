@@ -1,0 +1,72 @@
+"""End-to-end spark-submit --py-files deployment test (north rule:
+"launched via spark-submit --py-files on multi-executor clusters").
+
+Builds the dist zip, copies the driver script into a scratch dir, and
+runs the real ``spark-submit`` binary from there with a stripped
+PYTHONPATH — so ``import cc_net_spark`` can only resolve from the
+--py-files artifact, exactly as it would on a fresh cluster node.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+from make_pyfiles import build_zip  # noqa: E402
+
+SPARK_SUBMIT = Path(__import__("pyspark").__file__).parent / "bin" / "spark-submit"
+
+N = 80  # 10 groups of 8 roles: roles 0-4 cluster, 5-7 singletons
+
+
+def test_spark_submit_py_files_near_dup(tmp_path):
+    zip_path = build_zip(tmp_path / "cc_net_spark.zip")
+    driver = tmp_path / "submit_near_dup.py"
+    shutil.copy(REPO / "scripts" / "submit_near_dup.py", driver)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    proc = subprocess.run(
+        [
+            str(SPARK_SUBMIT),
+            "--master", "local[2]",
+            "--driver-memory", "4g",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(driver),
+            "--clips", str(tmp_path / "clips"),
+            "--workdir", str(tmp_path / "work"),
+            "--output", str(tmp_path / "clusters"),
+            "--generate", str(N),
+            "--fused",
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == N
+    # per group of 8: one 5-member cluster + 3 singletons = 4 distinct ids
+    assert summary["n_clusters"] == N // 8 * 4
+
+    # independent re-read of the artifact the driver wrote
+    con = duckdb.connect()
+    rows, clusters = con.execute(
+        "SELECT count(*), count(DISTINCT cluster_id) FROM "
+        f"read_parquet('{tmp_path / 'clusters'}/*.parquet')"
+    ).fetchone()
+    assert (rows, clusters) == (N, N // 8 * 4)
