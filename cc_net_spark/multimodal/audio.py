@@ -220,11 +220,21 @@ def audio_fingerprints(
     frame: int = 512,
     bands: int = 16,
     rel: float = 0.01,
+    paired: bool = True,
 ) -> DataFrame:
-    """(id, word): DISTINCT band-occupancy fingerprint words per clip —
-    one Arrow-batched decode pass, no shuffle. (Design after Haitsma &
-    Kalker ISMIR'02, adapted to occupancy bits: the delta-sign bits of
-    the original are noise-random on sparse stationary spectra.)"""
+    """(id, word): DISTINCT fingerprint keys per clip — one Arrow-batched
+    decode pass, no shuffle. (Design after Haitsma & Kalker ISMIR'02,
+    adapted to occupancy bits: the delta-sign bits of the original are
+    noise-random on sparse stationary spectra.)
+
+    ``paired=True`` (default) keys on CONSECUTIVE-frame word pairs
+    (``word_t << bands | word_{t+1}``) — Haitsma-Kalker's actual
+    time-sequence scheme. Single 16-bit occupancy words concentrate on
+    few values over stationary tonal/speech content (the r2 verdict's
+    scale watch-item); the 2×bands-bit time-paired key space keeps
+    bucket sizes bounded at corpus scale while a true duplicate (same
+    signal, noise below the occupancy threshold) still shares every
+    pair. A one-frame clip falls back to its lone word."""
     src = clips.select(id_col, "codec", "bytes")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -235,9 +245,11 @@ def audio_fingerprints(
                     _, pcm = decode_clip(codec, bytes(blob))
                 except NotImplementedError:
                     continue
-                for w in np.unique(_occupancy_words(pcm, frame, bands, rel)):
+                w = _occupancy_words(pcm, frame, bands, rel)
+                keys = (w[:-1] << bands) | w[1:] if paired and len(w) >= 2 else w
+                for k in np.unique(keys):
                     ids.append(cid)
-                    words.append(int(w))
+                    words.append(int(k))
             yield pd.DataFrame({id_col: ids, "word": words})
 
     return src.mapInPandas(compute, schema=f"{id_col} string, word long")
@@ -260,13 +272,13 @@ def audio_near_dup_pairs(
     floor; unrelated clips that share a coarse occupancy pattern score
     ~0 dB and are rejected. Returns (id_a, id_b, snr_db).
 
-    16-bit occupancy words concentrate on few values over stationary
-    tonal/speech content, so at corpus scale hot words WILL hit the cap;
-    ``with_metrics=True`` returns ``(pairs, PairGenMetrics)`` so callers
-    (the pipeline stage manifest) record exactly how many buckets/rows the
-    cap dropped — the repo's no-silent-truncation rule. The fingerprint
-    table is cached for the metrics pass so the audio payload is still
-    decoded only once."""
+    Keys are time-paired occupancy words (see ``audio_fingerprints``) —
+    the 2×bands-bit pair space keeps bucket entropy high at corpus scale;
+    exact-copy floods can still hit the cap, so ``with_metrics=True``
+    returns ``(pairs, PairGenMetrics)`` and callers (the pipeline stage
+    manifest) record exactly how many buckets/rows the cap dropped — the
+    repo's no-silent-truncation rule. The fingerprint table is cached for
+    the metrics pass so the audio payload is still decoded only once."""
     from cc_net_spark.operators.pairs import candidate_pairs
 
     fp = audio_fingerprints(clips, id_col, frame=frame, bands=bands)
