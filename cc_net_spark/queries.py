@@ -1509,7 +1509,9 @@ def _sql_incremental_near_dup() -> str:
     SELECT h.band, h.key, h.doc_id AS id_old,
            row_number() OVER (PARTITION BY h.band, h.key ORDER BY h.doc_id) AS rn
     FROM b h
-    JOIN (SELECT DISTINCT band, key FROM b WHERE bat = 1) nk
+    -- probe keys exclude batch-side hot buckets (> cap), mirroring the
+    -- handler's symmetric-cap discipline
+    JOIN (SELECT band, key FROM sz WHERE bat = 1 AND n <= 200) nk
       ON h.band = nk.band AND h.key = nk.key
     WHERE h.bat = 0
   ),

@@ -10,11 +10,14 @@ layout as ``streaming/incremental.py``) and, per micro-batch:
    (``keep_shingles=False`` — the extreme-scale mode: history text is
    NEVER re-read; verification uses signature-estimated Jaccard),
 2. within-batch candidates via the skew-capped bucket self-join,
-3. history candidates via an asymmetric probe: the batch's distinct
-   band keys (small — broadcast) select matching history band rows,
-   a per-bucket row_number cap bounds a hot boilerplate key, then the
+3. history candidates via an asymmetric probe: the batch's band keys
+   (hot buckets > bucket_cap excluded — the same boilerplate discipline
+   as the self-join; small — broadcast) select matching history band
+   rows, a per-bucket row_number cap bounds the history side too (a hot
+   key fans out at most cap x cap, never |batch| x cap), then the
    matched history rows join back to the batch side — history is
-   touched ONLY on matching keys, never self-joined,
+   touched ONLY on matching keys, never self-joined; every drop is
+   persisted in a per-batch metrics partition (no silent truncation),
 4. both candidate sets verify on estimated Jaccard (agreeing-minhash
    fraction) — batch sigs are in memory, history sigs join on the
    (few) matched ids,
@@ -34,14 +37,19 @@ become snapshot commits (see ``sources/snapshots.py``).
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cc_net_spark.operators.minhash import lsh_bands, shingle_signatures
 from cc_net_spark.operators.pairs import candidate_pairs
+
+
+def _join_path(base: str, *parts: str) -> str:
+    """URI-safe path join: pathlib mangles scheme URIs ('s3a://b' ->
+    's3a:/b'), and this state lives on whatever filesystem the cluster
+    uses (s3a/hdfs/abfs), not necessarily a POSIX mount."""
+    return "/".join([base.rstrip("/"), *parts])
 
 
 class IncrementalNearDup:
@@ -61,8 +69,8 @@ class IncrementalNearDup:
         threshold: float = 0.5,
         bucket_cap: int = 200,
     ):
-        self.sigs_path = str(Path(state_path) / "sigs")
-        self.bands_path = str(Path(state_path) / "bands")
+        self.sigs_path = _join_path(state_path, "sigs")
+        self.bands_path = _join_path(state_path, "bands")
         self.output_path = output_path
         self.text_col = text_col
         self.id_col = id_col
@@ -74,9 +82,18 @@ class IncrementalNearDup:
         self.bucket_cap = bucket_cap
 
     def _history(self, spark: SparkSession, path: str, before: int) -> DataFrame | None:
-        if not Path(path).exists():
-            return None
-        return spark.read.parquet(path).filter(F.col("_batch_id") < before)
+        # works on any Hadoop filesystem (a local Path.exists() check
+        # would silently disable the probe on s3a/hdfs); an empty or
+        # absent state dir (e.g. after an empty first batch) reads as
+        # "no history", not a schema-inference crash
+        try:
+            hist = spark.read.parquet(path)
+        except Exception as exc:  # AnalysisException; message-gated
+            msg = str(exc)
+            if "UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg:
+                return None
+            raise
+        return hist.filter(F.col("_batch_id") < before)
 
     def _estimated(self, joined: DataFrame) -> DataFrame:
         agree = F.size(
@@ -91,6 +108,10 @@ class IncrementalNearDup:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         idc = self.id_col
+        if batch.isEmpty():
+            # writing a 0-row batch would create an empty state dir
+            # (and an all-partitions dynamic overwrite is a no-op anyway)
+            return
 
         sig = shingle_signatures(
             batch,
@@ -104,20 +125,35 @@ class IncrementalNearDup:
             sig, idc, bands=self.bands, rows_per_band=self.rows_per_band
         ).localCheckpoint()
 
-        # within-batch candidates (skew-capped, id_a < id_b canonical)
-        within = candidate_pairs(
-            new_bands, ["band", "key"], idc, bucket_cap=self.bucket_cap
+        # within-batch candidates (skew-capped, id_a < id_b canonical);
+        # metrics are persisted per batch — no silent truncation
+        within, within_m = candidate_pairs(
+            new_bands, ["band", "key"], idc, bucket_cap=self.bucket_cap,
+            with_metrics=True,
         )
         sig_a = sig.select(F.col(idc).alias("id_a"), F.col("sig").alias("_sa"))
         sig_b = sig.select(F.col(idc).alias("id_b"), F.col("sig").alias("_sb"))
         within_ok = self._estimated(within.join(sig_a, "id_a").join(sig_b, "id_b"))
 
-        # history candidates: batch keys (small) select matching history
-        # rows; per-bucket cap bounds hot keys; history never self-joins
+        # history candidates: batch keys select matching history rows.
+        # BOTH sides of the probe are capped — batch-side hot buckets
+        # (> bucket_cap members, the same boilerplate discipline as the
+        # self-join) are excluded up front, and the history side is
+        # row_number-capped per bucket — so a hot key fans out at most
+        # cap x cap rows, never |batch| x cap
+        bsz = new_bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+        hot = bsz.filter(F.col("_bsz") > self.bucket_cap)
+        hot_keys, hot_rows = (
+            hot.agg(
+                F.count(F.lit(1)).alias("k"),
+                F.coalesce(F.sum("_bsz"), F.lit(0)).alias("r"),
+            )
+            .first()
+        )
         hist_bands = self._history(spark, self.bands_path, batch_id)
         cross_ok = None
         if hist_bands is not None:
-            new_keys = new_bands.select("band", "key").distinct()
+            new_keys = bsz.filter(F.col("_bsz") <= self.bucket_cap).select("band", "key")
             matched = hist_bands.join(F.broadcast(new_keys), ["band", "key"]).select(
                 "band", "key", F.col(idc).alias("id_old")
             )
@@ -165,16 +201,30 @@ class IncrementalNearDup:
         )
 
         def write(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(path)
-            )
+            # write straight into this batch's hive partition dir: replay
+            # overwrites only its own partition (same idempotence as
+            # dynamic partitionOverwriteMode), and a 0-row result — e.g.
+            # a batch whose pairs were all cap-dropped — still writes a
+            # schema-bearing parquet file, so readers of the base dir
+            # never hit UNABLE_TO_INFER_SCHEMA
+            df.write.mode("overwrite").parquet(_join_path(path, f"_batch_id={batch_id}"))
 
-        write(pairs, str(Path(self.output_path) / "pairs"))
-        write(flags, str(Path(self.output_path) / "flags"))
+        metrics = spark.createDataFrame(
+            [
+                (
+                    within_m.n_buckets,
+                    within_m.n_buckets_dropped,
+                    within_m.n_rows_dropped,
+                    int(hot_keys or 0),
+                    int(hot_rows or 0),
+                )
+            ],
+            "n_buckets long, n_buckets_dropped long, n_rows_dropped long, "
+            "probe_hot_keys_excluded long, probe_hot_rows_excluded long",
+        )
+        write(pairs, _join_path(self.output_path, "pairs"))
+        write(flags, _join_path(self.output_path, "flags"))
+        write(metrics, _join_path(self.output_path, "metrics"))
         # state appends LAST: a crash before this point leaves no state,
         # and the replay rewrites only this batch's partitions
         write(sig.select(idc, "n_shingles", "sig"), self.sigs_path)

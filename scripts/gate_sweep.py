@@ -3,44 +3,38 @@
 Replicates the grading driver's gate (row count + column names +
 order-insensitive exact values vs DuckDB oracles) at sf0.01 — the SF the
 driver actually uses — whereas tests/test_entry_contract.py pins sf0.001.
+Canonicalization is IMPORTED from that replica so the two surfaces can
+never diverge on what "green" means.
 
 Usage: python scripts/gate_sweep.py [sf_dir] [query ...]
 """
 
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 import duckdb
 import pandas as pd
 
 import __spark_entry__ as entrymod
+from tests.test_entry_contract import TABLES, canon
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-    sort_cols = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
-    sort_cols += [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
-    return df.sort_values(by=sort_cols).reset_index(drop=True)
 
 
 def main() -> int:
     from pyspark.sql import SparkSession
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = ONLY - set(queries)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}; known: {sorted(queries)}")
+        return 2
+    names = [n for n in sorted(queries) if not ONLY or n in ONLY]
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -55,8 +49,6 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
-    names = [n for n in sorted(queries) if not ONLY or n in ONLY]
     failures = []
     for name in names:
         t0 = time.time()

@@ -118,3 +118,51 @@ def test_streaming_wrapper_resumes_from_checkpoint(spark, tmp_path):
     # checkpoint means s0 was NOT reprocessed on the second run
     sigs = spark.read.parquet(str(tmp_path / "state" / "sigs"))
     assert sigs.count() == 3
+
+
+def test_uri_state_paths_not_mangled():
+    """s3a/hdfs state paths must survive path joining (pathlib would
+    collapse 's3a://b' to 's3a:/b')."""
+    nd = IncrementalNearDup("s3a://bucket/state", "hdfs://nn/out")
+    assert nd.sigs_path == "s3a://bucket/state/sigs"
+    assert nd.bands_path == "s3a://bucket/state/bands"
+
+
+def test_empty_first_batch_does_not_wedge_the_stream(spark, tmp_path):
+    """A 0-row first micro-batch (empty shard file) must not create an
+    empty state dir that crashes every later batch on schema inference."""
+    nd = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out"))
+    empty = _batch(spark, [("x", BASE)]).filter("clip_id = 'nope'")
+    nd.process_batch(empty, 0)
+    nd.process_batch(_batch(spark, [("a0", BASE), ("a1", BASE)]), 1)
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags")).collect()
+    }
+    assert flags == {"a0": False, "a1": True}
+
+
+def test_hot_batch_bucket_is_capped_and_metered(spark, tmp_path):
+    """A flood of identical docs in ONE batch: within pairs are dropped by
+    the cap AND the history probe excludes the hot batch-side keys — but
+    nothing is silent: the per-batch metrics partition records both."""
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), bucket_cap=10
+    )
+    nd.process_batch(_batch(spark, [("h0", BASE)]), 0)
+    flood = _batch(spark, [(f"f{i:03d}", BASE) for i in range(25)])
+    nd.process_batch(flood, 1)
+
+    m = (
+        spark.read.parquet(str(tmp_path / "out" / "metrics"))
+        .filter(F.col("_batch_id") == 1)
+        .first()
+    )
+    assert m["n_buckets_dropped"] >= 1
+    assert m["n_rows_dropped"] > 0
+    assert m["probe_hot_keys_excluded"] >= 1
+    assert m["probe_hot_rows_excluded"] >= 25
+    # the hot bucket produced no pairs (order-dependent recall loss is
+    # the documented cap semantics — and it is RECORDED, not silent)
+    pairs = spark.read.parquet(str(tmp_path / "out" / "pairs"))
+    assert pairs.filter(F.col("_batch_id") == 1).count() == 0
