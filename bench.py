@@ -370,6 +370,23 @@ def main() -> None:
         t, n_v = timed(lambda: Q.q_video_near_dup(spark, SF_DIR).count())
         timings["video_near_dup"] = round(t, 3)
         extras["multimodal_pairs"] = {"audio": n_a, "image": n_i, "video": n_v}
+
+        # incremental near-dup: time the ARRIVING-SHARD probe (batch 1
+        # probing batch 0's persisted LSH state) — the 10^12-scale path
+        # where history text is never re-scanned. History build untimed.
+        from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        inc = os.path.join(tmp, "incnd")
+        nd = IncrementalNearDup(
+            os.path.join(inc, "state"), os.path.join(inc, "out"),
+            text_col="text", id_col="doc_id",
+        )
+        nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        t, _ = timed(nd.process_batch, docs.filter(F.col("doc_id") % 2 == 1), 1)
+        timings["incremental_neardup_probe"] = round(t, 3)
     finally:
         spark.stop()
 

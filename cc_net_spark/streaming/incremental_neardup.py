@@ -231,6 +231,37 @@ class IncrementalNearDup:
         write(new_bands, self.bands_path)
 
 
+def compact_state(
+    spark: SparkSession,
+    state_path: str,
+    out_path: str,
+    *,
+    id_col: str = "clip_id",
+) -> None:
+    """Maintenance: rewrite the append-only LSH state into ONE partition
+    per table — small-file compaction plus dedupe of replay leftovers
+    (one row per id in ``sigs``, per (id, band, key) in ``bands``; the
+    earliest batch wins, preserving keep-first). The analogue of
+    ``incremental.compact_hashes`` and of Iceberg's
+    ``rewrite_data_files``. Out-of-place: writes under ``out_path``; the
+    caller swaps paths (or snapshot-commits) once finished. The compacted
+    rows keep the MAX source batch id as their partition value, so a
+    history probe for any later batch (``_batch_id < current``) still
+    sees all of them — only compact batches strictly below the stream
+    checkpoint's next batch id."""
+    for sub, keys in (("sigs", [id_col]), ("bands", [id_col, "band", "key"])):
+        df = spark.read.parquet(_join_path(state_path, sub))
+        max_b = df.agg(F.max("_batch_id")).first()[0]
+        w = Window.partitionBy(*keys).orderBy("_batch_id")
+        (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_batch_id")
+            .write.mode("overwrite")
+            .parquet(_join_path(out_path, sub, f"_batch_id={max_b}"))
+        )
+
+
 def run_incremental_near_dup(
     spark: SparkSession,
     input_path: str,

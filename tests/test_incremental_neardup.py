@@ -166,3 +166,36 @@ def test_hot_batch_bucket_is_capped_and_metered(spark, tmp_path):
     # the documented cap semantics — and it is RECORDED, not silent)
     pairs = spark.read.parquet(str(tmp_path / "out" / "pairs"))
     assert pairs.filter(F.col("_batch_id") == 1).count() == 0
+
+
+def test_compact_state_preserves_probe_results(spark, tmp_path):
+    """compact_state rewrites N batch partitions into one (small-file
+    maintenance, replay-leftover dedupe); a probe against the compacted
+    state yields byte-identical pairs/flags."""
+    from cc_net_spark.streaming.incremental_neardup import compact_state
+
+    nd = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out"))
+    nd.process_batch(_batch(spark, [("a0", BASE), ("a1", OTHER)]), 0)
+    nd.process_batch(_batch(spark, [("b0", THIRD)]), 1)
+    nd.process_batch(_batch(spark, [("b0", THIRD)]), 1)  # replay leftover
+
+    compact_state(spark, str(tmp_path / "state"), str(tmp_path / "compacted"))
+    sigs = spark.read.parquet(str(tmp_path / "compacted" / "sigs"))
+    assert sigs.count() == 3  # one row per id, replay deduped
+    assert sigs.select("_batch_id").distinct().count() == 1  # one partition
+
+    def probe(state_dir, out_dir):
+        h = IncrementalNearDup(state_dir, out_dir)
+        h.process_batch(_batch(spark, [("c0", BASE), ("c1", "fresh " + THIRD)]), 5)
+        pairs = spark.read.parquet(f"{out_dir}/pairs")
+        flags = spark.read.parquet(f"{out_dir}/flags")
+        return (
+            sorted(map(tuple, pairs.collect())),
+            sorted(map(tuple, flags.collect())),
+        )
+
+    got = probe(str(tmp_path / "compacted"), str(tmp_path / "out_c"))
+    exp = probe(str(tmp_path / "state"), str(tmp_path / "out_u"))
+    assert got == exp
+    # the probe actually found the cross-batch dup through compacted state
+    assert any(r[0] == "c0" and r[1] is True for r in got[1])
