@@ -96,12 +96,46 @@ def substring_candidate_pairs(
     )
 
 
+def _lcs_rolling(x: str, y: str) -> int:
+    """LCS length via O((n+m) log n) rolling-hash binary search —
+    collision odds ~2^-64 per probe, fully numpy-vectorized."""
+    lo, hi = 0, min(len(x), len(y))  # lcs length in (lo, hi]
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        ha = window_hashes(x, mid)
+        hb = window_hashes(y, mid)
+        if len(np.intersect1d(ha, hb, assume_unique=False)):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def verify_overlap_length(
-    pairs: DataFrame, df: DataFrame, field: str, id_col: str, *, min_length: int = 50
+    pairs: DataFrame,
+    df: DataFrame,
+    field: str,
+    id_col: str,
+    *,
+    min_length: int = 50,
+    kernel: str = "rolling",
 ) -> DataFrame:
-    """(id_a, id_b, overlap_len) — exact longest-common-substring length for
-    candidate pairs, via a per-pair O(n+m) rolling-hash binary search in a
-    vectorized batch UDF. Intended for candidate pairs only (tiny input)."""
+    """(id_a, id_b, overlap_len) — exact longest-common-substring length
+    for candidate pairs, in a vectorized batch UDF. Intended for
+    candidate pairs only (tiny input).
+
+    ``kernel="rolling"`` (default): per-pair rolling-hash binary search.
+    ``kernel="suffix_array"``: generalized suffix array + Kasai LCP
+    (``functions/suffix.py``) — the literal suffix-array kernel of the
+    substring-dedup literature, exact with no hash-collision caveat.
+    Both kernels are property-tested equal.
+    """
+    if kernel == "suffix_array":
+        from cc_net_spark.functions.suffix import lcs_length as _lcs
+    elif kernel == "rolling":
+        _lcs = _lcs_rolling
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
     texts = df.select(
         F.col(id_col).cast("string").alias(id_col), F.col(field).alias("_t")
     )
@@ -114,18 +148,9 @@ def verify_overlap_length(
         for pdf in batches:
             ta = normalize_for_dedup_series(pdf["_ta"]).fillna("")
             tb = normalize_for_dedup_series(pdf["_tb"]).fillna("")
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, (x, y) in enumerate(zip(ta, tb)):
-                lo, hi = 0, min(len(x), len(y))  # lcs length in (lo, hi]
-                while lo < hi:
-                    mid = (lo + hi + 1) // 2
-                    ha = window_hashes(x, mid)
-                    hb = window_hashes(y, mid)
-                    if len(np.intersect1d(ha, hb, assume_unique=False)):
-                        lo = mid
-                    else:
-                        hi = mid - 1
-                out[i] = lo
+            out = np.fromiter(
+                (_lcs(x, y) for x, y in zip(ta, tb)), dtype=np.int64, count=len(pdf)
+            )
             yield pd.DataFrame(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "overlap_len": out}
             )

@@ -199,3 +199,37 @@ def test_compact_state_preserves_probe_results(spark, tmp_path):
     assert got == exp
     # the probe actually found the cross-batch dup through compacted state
     assert any(r[0] == "c0" and r[1] is True for r in got[1])
+
+
+def test_incremental_union_equals_batch_mode(spark, tmp_path):
+    """Sharding a corpus into two arriving batches finds EXACTLY the pair
+    set batch-mode MinHash-LSH finds on the whole corpus at the same
+    config (caps inactive at this size): incrementality costs no recall."""
+    from cc_net_spark.operators.minhash import (
+        estimated_jaccard,
+        minhash_candidate_pairs,
+        shingle_signatures,
+    )
+    from cc_net_spark.sources import synth
+
+    clips = synth.generate_clips(spark, 48, seed=7, with_audio=False)
+    even = F.expr("CAST(substring(clip_id, 6) AS INT) % 2 = 0")
+
+    nd = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out"))
+    nd.process_batch(clips.filter(even), 0)
+    nd.process_batch(clips.filter(~even), 1)
+    got = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in spark.read.parquet(str(tmp_path / "out" / "pairs")).collect()
+    }
+
+    sig = shingle_signatures(
+        clips, "transcript", "clip_id", keep_shingles=False
+    ).localCheckpoint()
+    cand = minhash_candidate_pairs(sig, "clip_id")
+    exp = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in estimated_jaccard(cand, sig, "clip_id", threshold=0.5).collect()
+    }
+    assert got == exp
+    assert len(exp) > 0  # the synth corpus plants real near-dups
