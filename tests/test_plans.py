@@ -130,3 +130,26 @@ def test_regional_revenue_broadcasts_both_dims(spark):
 
     plan = plan_of(Q.q_regional_revenue(spark, SF_DIR))
     assert plan.count("BroadcastExchange") >= 2 or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_incremental_history_probe_prunes_partitions(spark, tmp_path):
+    """The history probe filters `_batch_id < current` on the hive
+    partition column, so Spark must prune later/own partitions at the
+    SCAN (PartitionFilters) — at 10^12 scale the probe cost is bounded by
+    matching band keys, never by re-listing replayed partitions."""
+    from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
+
+    nd = IncrementalNearDup(str(tmp_path / "s"), str(tmp_path / "o"))
+    for b in range(3):
+        nd.process_batch(
+            spark.createDataFrame(
+                [(f"x{b}", " ".join(f"w{i}" for i in range(12)))],
+                "clip_id string, transcript string",
+            ),
+            b,
+        )
+    hist = nd._history(spark, nd.bands_path, 2)
+    plan = plan_of(hist)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "_batch_id" in seg and "2" in seg
