@@ -125,11 +125,9 @@ class IncrementalNearDup:
             sig, idc, bands=self.bands, rows_per_band=self.rows_per_band
         ).localCheckpoint()
 
-        # within-batch candidates (skew-capped, id_a < id_b canonical);
-        # metrics are persisted per batch — no silent truncation
-        within, within_m = candidate_pairs(
-            new_bands, ["band", "key"], idc, bucket_cap=self.bucket_cap,
-            with_metrics=True,
+        # within-batch candidates (skew-capped, id_a < id_b canonical)
+        within = candidate_pairs(
+            new_bands, ["band", "key"], idc, bucket_cap=self.bucket_cap
         )
         sig_a = sig.select(F.col(idc).alias("id_a"), F.col("sig").alias("_sa"))
         sig_b = sig.select(F.col(idc).alias("id_b"), F.col("sig").alias("_sb"))
@@ -140,16 +138,17 @@ class IncrementalNearDup:
         # (> bucket_cap members, the same boilerplate discipline as the
         # self-join) are excluded up front, and the history side is
         # row_number-capped per bucket — so a hot key fans out at most
-        # cap x cap rows, never |batch| x cap
+        # cap x cap rows, never |batch| x cap. The hot buckets excluded
+        # here are EXACTLY the ones the self-join cap dropped (same cap,
+        # same table), so ONE aggregation yields the batch's full drop
+        # accounting — persisted per batch, no silent truncation.
         bsz = new_bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bsz"))
-        hot = bsz.filter(F.col("_bsz") > self.bucket_cap)
-        hot_keys, hot_rows = (
-            hot.agg(
-                F.count(F.lit(1)).alias("k"),
-                F.coalesce(F.sum("_bsz"), F.lit(0)).alias("r"),
-            )
-            .first()
-        )
+        is_hot = F.col("_bsz") > self.bucket_cap
+        n_buckets, hot_keys, hot_rows = bsz.agg(
+            F.count(F.lit(1)),
+            F.sum(is_hot.cast("long")),
+            F.sum(F.when(is_hot, F.col("_bsz")).otherwise(0)),
+        ).first()
         hist_bands = self._history(spark, self.bands_path, batch_id)
         cross_ok = None
         if hist_bands is not None:
@@ -210,17 +209,8 @@ class IncrementalNearDup:
             df.write.mode("overwrite").parquet(_join_path(path, f"_batch_id={batch_id}"))
 
         metrics = spark.createDataFrame(
-            [
-                (
-                    within_m.n_buckets,
-                    within_m.n_buckets_dropped,
-                    within_m.n_rows_dropped,
-                    int(hot_keys or 0),
-                    int(hot_rows or 0),
-                )
-            ],
-            "n_buckets long, n_buckets_dropped long, n_rows_dropped long, "
-            "probe_hot_keys_excluded long, probe_hot_rows_excluded long",
+            [(int(n_buckets or 0), int(hot_keys or 0), int(hot_rows or 0))],
+            "n_buckets long, n_hot_buckets_dropped long, n_hot_rows_dropped long",
         )
         write(pairs, _join_path(self.output_path, "pairs"))
         write(flags, _join_path(self.output_path, "flags"))

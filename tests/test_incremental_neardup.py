@@ -158,10 +158,10 @@ def test_hot_batch_bucket_is_capped_and_metered(spark, tmp_path):
         .filter(F.col("_batch_id") == 1)
         .first()
     )
-    assert m["n_buckets_dropped"] >= 1
-    assert m["n_rows_dropped"] > 0
-    assert m["probe_hot_keys_excluded"] >= 1
-    assert m["probe_hot_rows_excluded"] >= 25
+    # the same hot buckets are dropped from the self-join AND excluded
+    # from the history probe (same cap, same table) — one counter set
+    assert m["n_hot_buckets_dropped"] >= 1
+    assert m["n_hot_rows_dropped"] >= 25
     # the hot bucket produced no pairs (order-dependent recall loss is
     # the documented cap semantics — and it is RECORDED, not silent)
     pairs = spark.read.parquet(str(tmp_path / "out" / "pairs"))
