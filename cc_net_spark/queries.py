@@ -1457,6 +1457,20 @@ SQL_EVENTS_PROPS = """
 """
 
 
+def _run_incremental(spark: SparkSession, sf_dir: str, base: str):
+    """Two-shard incremental run over documents (even doc_ids first, odd
+    second), state persisted under the oracle-export dir."""
+    from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
+
+    _shutil.rmtree(base, ignore_errors=True)  # fresh state per invocation
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nd = IncrementalNearDup(
+        f"{base}/state", f"{base}/out", text_col="text", id_col="doc_id"
+    )
+    nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    nd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup over two arriving shards of ``documents``
     (even doc_ids arrive first, odd second): the second shard probes the
@@ -1469,16 +1483,8 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number cap, and the agreeing-minhash fraction recomputed per pair
     in DuckDB (k/128 is exact in float64 on both engines).
     """
-    from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
-
     base = f"{ORACLE_EXPORT}/incnd"
-    _shutil.rmtree(base, ignore_errors=True)  # fresh state per invocation
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    nd = IncrementalNearDup(
-        f"{base}/state", f"{base}/out", text_col="text", id_col="doc_id"
-    )
-    nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
-    nd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    _run_incremental(spark, sf_dir, base)
     return spark.read.parquet(f"{base}/out/pairs").select(
         F.col("_batch_id").cast("int").alias("batch"),
         "id_a",
@@ -1488,13 +1494,31 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_incremental_near_dup() -> str:
+def q_incremental_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc keep-first flags from the incremental run — the surface
+    a downstream filter actually consumes (a doc is a near-dup iff it
+    matched an earlier batch, or a smaller id within its own batch).
+
+    Oracle: the flags are re-derived in SQL from the same exported state
+    chain as ``incremental_near_dup`` — dup iff a qualifying history pair
+    targets the doc, or a qualifying within pair has it as the larger id.
+    """
+    base = f"{ORACLE_EXPORT}/incnd_flags"
+    _run_incremental(spark, sf_dir, base)
+    return spark.read.parquet(f"{base}/out/flags").select(
+        F.col("_batch_id").cast("int").alias("batch"),
+        F.col("doc_id"),
+        "is_near_dup",
+    )
+
+
+def _sql_incnd_body(subdir: str) -> str:
     return f"""
   WITH b AS (SELECT doc_id, band, key, CAST(_batch_id AS INT) AS bat
-             FROM read_parquet('{ORACLE_EXPORT}/incnd/state/bands/*/*.parquet',
+             FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/bands/*/*.parquet',
                                hive_partitioning = 1)),
   sigs AS (SELECT doc_id, sig, CAST(_batch_id AS INT) AS bat
-           FROM read_parquet('{ORACLE_EXPORT}/incnd/state/sigs/*/*.parquet',
+           FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/sigs/*/*.parquet',
                              hive_partitioning = 1)),
   sz AS (SELECT bat, band, key, count(*) AS n FROM b GROUP BY bat, band, key),
   within_cand AS (
@@ -1537,10 +1561,33 @@ def _sql_incremental_near_dup() -> str:
     JOIN sigs sa ON sa.doc_id = c.id_a AND sa.bat = c.bat
     JOIN sigs sb ON sb.doc_id = c.id_b
                 AND sb.bat = CASE WHEN c.kind = 'history' THEN 0 ELSE c.bat END
-  )
+  )"""
+
+
+def _sql_incremental_near_dup() -> str:
+    return (
+        _sql_incnd_body("incnd")
+        + """
   SELECT batch, id_a, id_b, kind, jaccard_est
   FROM est WHERE jaccard_est >= 0.5
 """
+    )
+
+
+def _sql_incremental_near_dup_flags() -> str:
+    return (
+        _sql_incnd_body("incnd_flags")
+        + """
+  , dups AS (
+    SELECT id_a AS doc_id FROM est WHERE kind = 'history' AND jaccard_est >= 0.5
+    UNION
+    SELECT id_b AS doc_id FROM est WHERE kind = 'within' AND jaccard_est >= 0.5
+  )
+  SELECT s.bat AS batch, s.doc_id,
+         s.doc_id IN (SELECT doc_id FROM dups) AS is_near_dup
+  FROM sigs s
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1593,6 +1640,7 @@ def registry():
         "image_near_dup": q_image_near_dup,
         "video_near_dup": q_video_near_dup,
         "incremental_near_dup": q_incremental_near_dup,
+        "incremental_near_dup_flags": q_incremental_near_dup_flags,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -1644,5 +1692,6 @@ def registry():
         "video_near_dup": SQL_VIDEO_NEAR_DUP,
         # round-3 continuation: streaming LSH state re-derived in SQL
         "incremental_near_dup": _sql_incremental_near_dup(),
+        "incremental_near_dup_flags": _sql_incremental_near_dup_flags(),
     }
     return q, o
