@@ -1459,16 +1459,26 @@ SQL_EVENTS_PROPS = """
 
 def _run_incremental(spark: SparkSession, sf_dir: str, base: str):
     """Two-shard incremental run over documents (even doc_ids first, odd
-    second), state persisted under the oracle-export dir."""
+    second), state persisted under the oracle-export dir. The run is
+    SHARED between the pairs and flags gate queries: a marker records
+    which sf_dir the state was built from, so the second query (and its
+    oracle) reads the exact same exported chain instead of recomputing
+    it; a different sf_dir rebuilds from scratch."""
+    import pathlib
+
     from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
 
-    _shutil.rmtree(base, ignore_errors=True)  # fresh state per invocation
+    marker = pathlib.Path(base) / "_sf_marker"
+    if marker.exists() and marker.read_text() == sf_dir:
+        return
+    _shutil.rmtree(base, ignore_errors=True)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     nd = IncrementalNearDup(
         f"{base}/state", f"{base}/out", text_col="text", id_col="doc_id"
     )
     nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
     nd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    marker.write_text(sf_dir)
 
 
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1503,7 +1513,7 @@ def q_incremental_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain as ``incremental_near_dup`` — dup iff a qualifying history pair
     targets the doc, or a qualifying within pair has it as the larger id.
     """
-    base = f"{ORACLE_EXPORT}/incnd_flags"
+    base = f"{ORACLE_EXPORT}/incnd"
     _run_incremental(spark, sf_dir, base)
     return spark.read.parquet(f"{base}/out/flags").select(
         F.col("_batch_id").cast("int").alias("batch"),
@@ -1576,7 +1586,7 @@ def _sql_incremental_near_dup() -> str:
 
 def _sql_incremental_near_dup_flags() -> str:
     return (
-        _sql_incnd_body("incnd_flags")
+        _sql_incnd_body("incnd")
         + """
   , dups AS (
     SELECT id_a AS doc_id FROM est WHERE kind = 'history' AND jaccard_est >= 0.5

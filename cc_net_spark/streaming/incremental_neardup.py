@@ -142,7 +142,14 @@ class IncrementalNearDup:
         # here are EXACTLY the ones the self-join cap dropped (same cap,
         # same table), so ONE aggregation yields the batch's full drop
         # accounting — persisted per batch, no silent truncation.
-        bsz = new_bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+        # Sizes count DISTINCT (bucket, id) rows, matching candidate_pairs'
+        # own sizing — duplicate ids in a malformed shard must not make
+        # the probe's view of "hot" diverge from the self-join's.
+        bsz = (
+            new_bands.dropDuplicates(["band", "key", idc])
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+        )
         is_hot = F.col("_bsz") > self.bucket_cap
         n_buckets, hot_keys, hot_rows = bsz.agg(
             F.count(F.lit(1)),
@@ -208,6 +215,9 @@ class IncrementalNearDup:
             # never hit UNABLE_TO_INFER_SCHEMA
             df.write.mode("overwrite").parquet(_join_path(path, f"_batch_id={batch_id}"))
 
+        # NOTE: this schema is part of the on-disk contract — the metrics
+        # dir is append-only across upgrades, so schema changes require
+        # rewriting old partitions (or mergeSchema-aware readers) first
         metrics = spark.createDataFrame(
             [(int(n_buckets or 0), int(hot_keys or 0), int(hot_rows or 0))],
             "n_buckets long, n_hot_buckets_dropped long, n_hot_rows_dropped long",
@@ -226,29 +236,42 @@ def compact_state(
     state_path: str,
     out_path: str,
     *,
+    upto_batch: int,
     id_col: str = "clip_id",
 ) -> None:
-    """Maintenance: rewrite the append-only LSH state into ONE partition
-    per table — small-file compaction plus dedupe of replay leftovers
-    (one row per id in ``sigs``, per (id, band, key) in ``bands``; the
-    earliest batch wins, preserving keep-first). The analogue of
-    ``incremental.compact_hashes`` and of Iceberg's
-    ``rewrite_data_files``. Out-of-place: writes under ``out_path``; the
-    caller swaps paths (or snapshot-commits) once finished. The compacted
-    rows keep the MAX source batch id as their partition value, so a
-    history probe for any later batch (``_batch_id < current``) still
-    sees all of them — only compact batches strictly below the stream
-    checkpoint's next batch id."""
+    """Maintenance: rewrite the append-only LSH state partitions below
+    ``upto_batch`` into ONE partition per table — small-file compaction
+    plus dedupe of replay leftovers (one row per id in ``sigs``, per
+    (id, band, key) in ``bands``; the earliest batch wins, preserving
+    keep-first). The analogue of ``incremental.compact_hashes`` and of
+    Iceberg's ``rewrite_data_files``. Out-of-place: writes under
+    ``out_path``; the caller swaps paths (or snapshot-commits) once
+    finished.
+
+    ``upto_batch`` is ENFORCED, not advisory: pass the stream
+    checkpoint's next batch id (every batch < upto_batch is committed
+    and can never replay). Compacted rows are rebadged to partition
+    ``upto_batch - 1``; a replay of any batch >= upto_batch probes
+    ``_batch_id < current`` and still sees all compacted history, while
+    partitions >= upto_batch pass through unchanged."""
     for sub, keys in (("sigs", [id_col]), ("bands", [id_col, "band", "key"])):
         df = spark.read.parquet(_join_path(state_path, sub))
-        max_b = df.agg(F.max("_batch_id")).first()[0]
+        old = df.filter(F.col("_batch_id") < upto_batch)
         w = Window.partitionBy(*keys).orderBy("_batch_id")
         (
-            df.withColumn("_rn", F.row_number().over(w))
+            old.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_batch_id")
             .write.mode("overwrite")
-            .parquet(_join_path(out_path, sub, f"_batch_id={max_b}"))
+            .parquet(_join_path(out_path, sub, f"_batch_id={upto_batch - 1}"))
+        )
+        # uncompacted (possibly replayable) batches: copied verbatim,
+        # keeping their own partition values
+        (
+            df.filter(F.col("_batch_id") >= upto_batch)
+            .write.mode("append")
+            .partitionBy("_batch_id")
+            .parquet(_join_path(out_path, sub))
         )
 
 

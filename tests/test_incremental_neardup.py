@@ -179,10 +179,14 @@ def test_compact_state_preserves_probe_results(spark, tmp_path):
     nd.process_batch(_batch(spark, [("b0", THIRD)]), 1)
     nd.process_batch(_batch(spark, [("b0", THIRD)]), 1)  # replay leftover
 
-    compact_state(spark, str(tmp_path / "state"), str(tmp_path / "compacted"))
+    # the stream checkpoint has committed batches 0 and 1 -> upto_batch=2
+    compact_state(
+        spark, str(tmp_path / "state"), str(tmp_path / "compacted"), upto_batch=2
+    )
     sigs = spark.read.parquet(str(tmp_path / "compacted" / "sigs"))
     assert sigs.count() == 3  # one row per id, replay deduped
-    assert sigs.select("_batch_id").distinct().count() == 1  # one partition
+    # one partition, rebadged to upto_batch-1 so any later probe sees it
+    assert [r["_batch_id"] for r in sigs.select("_batch_id").distinct().collect()] == [1]
 
     def probe(state_dir, out_dir):
         h = IncrementalNearDup(state_dir, out_dir)
@@ -199,6 +203,18 @@ def test_compact_state_preserves_probe_results(spark, tmp_path):
     assert got == exp
     # the probe actually found the cross-batch dup through compacted state
     assert any(r[0] == "c0" and r[1] is True for r in got[1])
+
+    # partial compaction: batches >= upto_batch pass through with their
+    # own partition values (they may still replay). The uncompacted
+    # probe above appended batch 5 to the original state, so with
+    # upto_batch=1 only batch 0 is rebadged; 1 and 5 survive verbatim.
+    compact_state(
+        spark, str(tmp_path / "state"), str(tmp_path / "c2"), upto_batch=1
+    )
+    s2 = spark.read.parquet(str(tmp_path / "c2" / "sigs"))
+    assert {
+        r["_batch_id"] for r in s2.select("_batch_id").distinct().collect()
+    } == {0, 1, 5}
 
 
 def test_incremental_union_equals_batch_mode(spark, tmp_path):

@@ -148,8 +148,13 @@ def test_incremental_history_probe_prunes_partitions(spark, tmp_path):
             ),
             b,
         )
+    import re
+
     hist = nd._history(spark, nd.bands_path, 2)
     plan = plan_of(hist)
     assert "PartitionFilters" in plan
-    seg = plan.split("PartitionFilters", 1)[1][:300]
-    assert "_batch_id" in seg and "2" in seg
+    bracket = plan.split("PartitionFilters", 1)[1]
+    bracket = bracket[: bracket.index("]")]
+    # the `< 2` comparison itself must sit INSIDE the partition filters —
+    # isnotnull alone (predicate evaluated post-scan) must fail here
+    assert re.search(r"_batch_id#?\d*\s*<\s*2", bracket), bracket
