@@ -7,6 +7,8 @@ is the ad-hoc surface), re-expressed over Spark:
         [--keep-tail]
     python -m cc_net_spark jsonql where '{lang}=="en"' -- select doc_id \
         --file in.jsonl --output out.parquet
+    python -m cc_net_spark neardup --input shards/ --state state/ \
+        --output out/ --checkpoint ckpt/ [--compact-upto N]
 
 `mine` runs the reference's default pipeline (dedup -> lid -> keep_lang
 -> sp -> lm -> pp_bucket -> drop -> minify -> split_by_lang,
@@ -52,6 +54,52 @@ def _mine(argv: list[str]) -> None:
           f"{a.output}/metadata")
 
 
+def _neardup(argv: list[str]) -> None:
+    """Incremental near-dup over arriving JSONL shards: Structured
+    Streaming with an AvailableNow trigger — processes everything present,
+    checkpoints, stops; re-invoking resumes where it left off. With
+    ``--compact-upto N`` runs the state-compaction maintenance job
+    instead (N = the stream checkpoint's next batch id)."""
+    p = argparse.ArgumentParser(prog="cc_net_spark neardup")
+    p.add_argument("--input", help="input dir of JSONL shard files")
+    p.add_argument("--state", required=True, help="persistent LSH state dir")
+    p.add_argument("--output", help="pairs/flags/metrics output dir")
+    p.add_argument("--checkpoint", help="stream checkpoint dir")
+    p.add_argument("--schema", default="clip_id string, transcript string")
+    p.add_argument("--text-col", default="transcript")
+    p.add_argument("--id-col", default="clip_id")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--bucket-cap", type=int, default=200)
+    p.add_argument("--compact-upto", type=int, default=None, metavar="N",
+                   help="compact state batches < N into one partition "
+                        "(writes <state>_compacted)")
+    a = p.parse_args(argv)
+
+    from cc_net_spark.session import get_spark
+
+    spark = get_spark(app_name="cc_net_spark_neardup")
+    if a.compact_upto is not None:
+        from cc_net_spark.streaming.incremental_neardup import compact_state
+
+        out = a.state.rstrip("/") + "_compacted"
+        compact_state(spark, a.state, out, upto_batch=a.compact_upto,
+                      id_col=a.id_col)
+        print(f"neardup: compacted state batches < {a.compact_upto} -> {out}")
+        return
+    for req in ("input", "output", "checkpoint"):
+        if getattr(a, req) is None:
+            p.error(f"--{req} is required unless --compact-upto is given")
+    from cc_net_spark.streaming.incremental_neardup import run_incremental_near_dup
+
+    run_incremental_near_dup(
+        spark, a.input, a.schema, a.state, a.output, a.checkpoint,
+        text_col=a.text_col, id_col=a.id_col,
+        threshold=a.threshold, bucket_cap=a.bucket_cap,
+    )
+    print(f"neardup: processed available shards; outputs under {a.output} "
+          f"(pairs/, flags/, metrics/), state under {a.state}")
+
+
 def main(argv: list[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
@@ -60,12 +108,14 @@ def main(argv: list[str] | None = None) -> None:
     cmd, rest = argv[0], argv[1:]
     if cmd == "mine":
         _mine(rest)
+    elif cmd == "neardup":
+        _neardup(rest)
     elif cmd == "jsonql":
         from cc_net_spark.jsonql_cli import main as jsonql_main
 
         jsonql_main(rest)
     else:
-        raise SystemExit(f"unknown command: {cmd} (mine|jsonql)")
+        raise SystemExit(f"unknown command: {cmd} (mine|jsonql|neardup)")
 
 
 if __name__ == "__main__":

@@ -120,3 +120,41 @@ def test_module_cli_mine_end_to_end(spark, tmp_path):
     assert docs.count() > 0 and meta.count() > 0
     assert "lang" in docs.columns and "bucket" in docs.columns
     assert "line_ids" in meta.columns
+
+
+def test_module_cli_neardup_end_to_end(spark, tmp_path):
+    """`python -m cc_net_spark neardup` — incremental near-dup over
+    arriving shards, then the compaction maintenance subcommand."""
+    import json as _json
+
+    from cc_net_spark.__main__ import main as mod_main
+
+    base = " ".join(f"w{i:02d}" for i in range(40))
+    other = " ".join(f"x{i:02d}" for i in range(40))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "s0.json").write_text(
+        _json.dumps({"clip_id": "a0", "transcript": base})
+        + "\n"
+        + _json.dumps({"clip_id": "a1", "transcript": other})
+    )
+    args = [
+        "neardup", "--input", str(inp), "--state", str(tmp_path / "state"),
+        "--output", str(tmp_path / "out"), "--checkpoint", str(tmp_path / "ckpt"),
+    ]
+    mod_main(args)
+    (inp / "s1.json").write_text(
+        _json.dumps({"clip_id": "b0", "transcript": base})
+    )
+    mod_main(args)  # resumes from checkpoint, processes only s1
+
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags")).collect()
+    }
+    assert flags == {"a0": False, "a1": False, "b0": True}
+
+    mod_main(["neardup", "--state", str(tmp_path / "state"), "--compact-upto", "2"])
+    sigs = spark.read.parquet(str(tmp_path / "state_compacted" / "sigs"))
+    assert sigs.count() == 3
+    assert sigs.select("_batch_id").distinct().count() == 1
