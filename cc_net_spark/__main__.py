@@ -70,6 +70,8 @@ def _neardup(argv: list[str]) -> None:
     p.add_argument("--id-col", default="clip_id")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--bucket-cap", type=int, default=200)
+    p.add_argument("--families", default="minhash",
+                   help="comma list of pair families: minhash,simhash,exact")
     p.add_argument("--compact-upto", type=int, default=None, metavar="N",
                    help="compact state batches < N into one partition "
                         "(writes <state>_compacted)")
@@ -95,6 +97,7 @@ def _neardup(argv: list[str]) -> None:
         spark, a.input, a.schema, a.state, a.output, a.checkpoint,
         text_col=a.text_col, id_col=a.id_col,
         threshold=a.threshold, bucket_cap=a.bucket_cap,
+        families=tuple(a.families.split(",")),
     )
     print(f"neardup: processed available shards; outputs under {a.output} "
           f"(pairs/, flags/, metrics/), state under {a.state}")

@@ -58,13 +58,19 @@ def fused_signatures(
     keep_shingles: bool = True,
     substring_length: int = 30,
     winnow_window: int = 21,
+    with_grams: bool = True,
 ) -> DataFrame:
-    """All per-doc signatures from one scan+normalize (see module doc)."""
+    """All per-doc signatures from one scan+normalize (see module doc).
+
+    ``with_grams=False`` skips the substring-fingerprint computation and
+    column — for consumers (e.g. the incremental near-dup state) that
+    run no substring pass and must not pay the window-hash cost."""
     a, b = minhash_params(num_perm, seed)
     shingle_cols = ", shingles array<long>" if keep_shingles else ""
+    gram_cols = " grams array<long>," if with_grams else ""
     out_schema = (
         f"{id_col} string, n_shingles int{shingle_cols}, sig array<long>,"
-        " simhash long, grams array<long>, tkey long"
+        f" simhash long,{gram_cols} tkey long"
     )
     src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(field))
 
@@ -115,10 +121,11 @@ def fused_signatures(
             # --- winnowed substring fingerprints (kept as per-row arrays;
             # the consumer explodes them JVM-side)
             gram_arrays = []
-            for t in norm:
-                wh = window_hashes(t, substring_length)
-                g = winnow(wh, winnow_window) if winnow_window > 1 else np.unique(wh)
-                gram_arrays.append(g.view(np.int64))
+            if with_grams:
+                for t in norm:
+                    wh = window_hashes(t, substring_length)
+                    g = winnow(wh, winnow_window) if winnow_window > 1 else np.unique(wh)
+                    gram_arrays.append(g.view(np.int64))
 
             # --- full-text exact-dup key (== dedup_hash_udf(raw_text))
             tkeys = sha1_u64_series(norm).astype("int64")
@@ -135,7 +142,8 @@ def fused_signatures(
                 )
             out["sig"] = pd.Series(list(sig), index=pdf.index)
             out["simhash"] = pd.Series(sims, index=pdf.index)
-            out["grams"] = pd.Series(list(gram_arrays), index=pdf.index)
+            if with_grams:
+                out["grams"] = pd.Series(list(gram_arrays), index=pdf.index)
             out["tkey"] = tkeys.set_axis(pdf.index)
             yield pd.DataFrame(out)
 

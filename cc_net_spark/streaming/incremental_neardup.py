@@ -6,9 +6,12 @@ module keeps the MinHash/LSH state — signatures and band keys — in
 append-only ``_batch_id``-partitioned tables (the same replay-idempotent
 layout as ``streaming/incremental.py``) and, per micro-batch:
 
-1. ONE narrow mapInPandas computes the batch's signatures
-   (``keep_shingles=False`` — the extreme-scale mode: history text is
-   NEVER re-read; verification uses signature-estimated Jaccard),
+1. ONE narrow mapInPandas computes the batch's fused signatures —
+   MinHash sig, SimHash, exact full-text key from one normalization
+   pass (``keep_shingles=False`` — the extreme-scale mode: history text
+   is NEVER re-read; MinHash verification uses signature-estimated
+   Jaccard, SimHash verification is JVM bit_count Hamming, the exact
+   family needs no verification),
 2. within-batch candidates via the skew-capped bucket self-join,
 3. history candidates via an asymmetric probe: the batch's band keys
    (hot buckets > bucket_cap excluded — the same boilerplate discipline
@@ -41,8 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cc_net_spark.operators.minhash import lsh_bands, shingle_signatures
+from cc_net_spark.operators.minhash import lsh_bands
 from cc_net_spark.operators.pairs import candidate_pairs
+from cc_net_spark.operators.signatures import fused_signatures
+
+FAMILIES = ("minhash", "simhash", "exact")
 
 
 def _join_path(base: str, *parts: str) -> str:
@@ -53,7 +59,17 @@ def _join_path(base: str, *parts: str) -> str:
 
 
 class IncrementalNearDup:
-    """foreachBatch handler holding the persistent LSH-state locations."""
+    """foreachBatch handler holding the persistent LSH-state locations.
+
+    ``families`` selects the pair families (mirroring the flagship batch
+    pipeline): ``minhash`` (LSH bands -> estimated-Jaccard verify),
+    ``simhash`` (pigeonhole bands -> Hamming verify), ``exact``
+    (full-transcript sha1-u64 key equality). All share ONE fused
+    signature scan per batch and the same capped within/history probe
+    machinery; the substring family is deliberately absent — its gram
+    state is ~len(text)/10 rows per doc, which at 10^12 docs is a
+    corpus-scale table of its own (run the batch substring pass over
+    compacted corpus snapshots instead)."""
 
     def __init__(
         self,
@@ -67,10 +83,16 @@ class IncrementalNearDup:
         bands: int = 32,
         rows_per_band: int = 4,
         threshold: float = 0.5,
+        max_hamming: int = 4,
         bucket_cap: int = 200,
+        families: tuple[str, ...] = ("minhash",),
     ):
+        unknown = set(families) - set(FAMILIES)
+        if unknown or not families:
+            raise ValueError(f"families must be a non-empty subset of {FAMILIES}")
         self.sigs_path = _join_path(state_path, "sigs")
         self.bands_path = _join_path(state_path, "bands")
+        self.simbands_path = _join_path(state_path, "simbands")
         self.output_path = output_path
         self.text_col = text_col
         self.id_col = id_col
@@ -79,7 +101,9 @@ class IncrementalNearDup:
         self.bands = bands
         self.rows_per_band = rows_per_band
         self.threshold = threshold
+        self.max_hamming = max_hamming
         self.bucket_cap = bucket_cap
+        self.families = tuple(families)
 
     def _history(self, spark: SparkSession, path: str, before: int) -> DataFrame | None:
         # works on any Hadoop filesystem (a local Path.exists() check
@@ -105,97 +129,195 @@ class IncrementalNearDup:
             .filter(F.col("jaccard_est") >= self.threshold)
         )
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
+    def _family_candidates(
+        self, new_rows: DataFrame, hist_rows: DataFrame | None, keys: list[str]
+    ):
+        """Shared within/history candidate machinery for one keyed family.
+
+        Within: the skew-capped bucket self-join (id_a < id_b canonical).
+        History: asymmetric capped probe — batch-side hot buckets
+        (> bucket_cap, the same boilerplate discipline as the self-join)
+        are excluded up front, the history side is row_number-capped per
+        bucket, so a hot key fans out at most cap x cap rows, never
+        |batch| x cap. Sizes count DISTINCT (bucket, id) rows, matching
+        candidate_pairs' own sizing. Returns (within, cross|None,
+        (n_buckets, n_hot, n_hot_rows))."""
         idc = self.id_col
-        if batch.isEmpty():
-            # writing a 0-row batch would create an empty state dir
-            # (and an all-partitions dynamic overwrite is a no-op anyway)
-            return
-
-        sig = shingle_signatures(
-            batch,
-            self.text_col,
-            idc,
-            shingle_size=self.shingle_size,
-            num_perm=self.num_perm,
-            keep_shingles=False,
-        ).localCheckpoint()
-        new_bands = lsh_bands(
-            sig, idc, bands=self.bands, rows_per_band=self.rows_per_band
-        ).localCheckpoint()
-
-        # within-batch candidates (skew-capped, id_a < id_b canonical)
-        within = candidate_pairs(
-            new_bands, ["band", "key"], idc, bucket_cap=self.bucket_cap
-        )
-        sig_a = sig.select(F.col(idc).alias("id_a"), F.col("sig").alias("_sa"))
-        sig_b = sig.select(F.col(idc).alias("id_b"), F.col("sig").alias("_sb"))
-        within_ok = self._estimated(within.join(sig_a, "id_a").join(sig_b, "id_b"))
-
-        # history candidates: batch keys select matching history rows.
-        # BOTH sides of the probe are capped — batch-side hot buckets
-        # (> bucket_cap members, the same boilerplate discipline as the
-        # self-join) are excluded up front, and the history side is
-        # row_number-capped per bucket — so a hot key fans out at most
-        # cap x cap rows, never |batch| x cap. The hot buckets excluded
-        # here are EXACTLY the ones the self-join cap dropped (same cap,
-        # same table), so ONE aggregation yields the batch's full drop
-        # accounting — persisted per batch, no silent truncation.
-        # Sizes count DISTINCT (bucket, id) rows, matching candidate_pairs'
-        # own sizing — duplicate ids in a malformed shard must not make
-        # the probe's view of "hot" diverge from the self-join's.
+        within = candidate_pairs(new_rows, keys, idc, bucket_cap=self.bucket_cap)
         bsz = (
-            new_bands.dropDuplicates(["band", "key", idc])
-            .groupBy("band", "key")
+            new_rows.dropDuplicates([*keys, idc])
+            .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_bsz"))
         )
         is_hot = F.col("_bsz") > self.bucket_cap
-        n_buckets, hot_keys, hot_rows = bsz.agg(
+        n_buckets, n_hot, n_hot_rows = bsz.agg(
             F.count(F.lit(1)),
             F.sum(is_hot.cast("long")),
             F.sum(F.when(is_hot, F.col("_bsz")).otherwise(0)),
         ).first()
-        hist_bands = self._history(spark, self.bands_path, batch_id)
-        cross_ok = None
-        if hist_bands is not None:
-            new_keys = bsz.filter(F.col("_bsz") <= self.bucket_cap).select("band", "key")
-            matched = hist_bands.join(F.broadcast(new_keys), ["band", "key"]).select(
-                "band", "key", F.col(idc).alias("id_old")
+        cross = None
+        if hist_rows is not None:
+            new_keys = bsz.filter(~is_hot).select(*keys)
+            matched = hist_rows.join(F.broadcast(new_keys), keys).select(
+                *keys, F.col(idc).alias("id_old")
             )
-            w = Window.partitionBy("band", "key").orderBy("id_old")
+            w = Window.partitionBy(*keys).orderBy("id_old")
             matched = (
                 matched.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= self.bucket_cap)
                 .drop("_rn")
             )
             cross = (
-                new_bands.join(matched, ["band", "key"])
+                new_rows.join(matched, keys)
                 .select(F.col(idc).alias("id_a"), F.col("id_old").alias("id_b"))
                 .filter(F.col("id_a") != F.col("id_b"))
                 .distinct()
             )
-            hist_sigs = self._history(spark, self.sigs_path, batch_id)
-            hist_b = hist_sigs.select(F.col(idc).alias("id_b"), F.col("sig").alias("_sb"))
-            cross_ok = self._estimated(cross.join(sig_a, "id_a").join(hist_b, "id_b"))
+        return within, cross, (int(n_buckets or 0), int(n_hot or 0), int(n_hot_rows or 0))
 
-        pairs = within_ok.select("id_a", "id_b", "jaccard_est").withColumn(
-            "kind", F.lit("within")
+    @staticmethod
+    def _fetch(pairs: DataFrame, new_vals: DataFrame, hist_vals: DataFrame | None,
+               cross: bool) -> DataFrame:
+        """Join a candidate table to its verification values: id_a always
+        from the batch; id_b from history for cross pairs."""
+        a = new_vals.withColumnRenamed("_v", "_va").withColumnRenamed(
+            new_vals.columns[0], "id_a"
         )
-        if cross_ok is not None:
-            pairs = pairs.unionByName(
-                cross_ok.select("id_a", "id_b", "jaccard_est").withColumn(
-                    "kind", F.lit("history")
-                )
+        b_src = hist_vals if cross else new_vals
+        b = b_src.withColumnRenamed("_v", "_vb").withColumnRenamed(
+            b_src.columns[0], "id_b"
+        )
+        return pairs.join(a, "id_a").join(b, "id_b")
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        idc = self.id_col
+        if batch.isEmpty():
+            # writing a 0-row batch would create an empty state dir
+            return
+
+        # ONE fused scan per batch: minhash sig + simhash + exact tkey
+        # from one normalization pass (operators/signatures.py); grams
+        # skipped — no substring family (see class doc)
+        sig = fused_signatures(
+            batch,
+            self.text_col,
+            idc,
+            shingle_size=self.shingle_size,
+            num_perm=self.num_perm,
+            keep_shingles=False,
+            with_grams=False,
+        ).localCheckpoint()
+        hist_sigs = self._history(spark, self.sigs_path, batch_id)
+
+        null_jac = F.lit(None).cast("double").alias("jaccard_est")
+        null_ham = F.lit(None).cast("int").alias("hamming")
+        pair_parts: list[DataFrame] = []
+        metric_rows: list[tuple] = []
+        state_writes: list[tuple[DataFrame, str]] = []
+
+        if "minhash" in self.families:
+            new_bands = lsh_bands(
+                sig, idc, bands=self.bands, rows_per_band=self.rows_per_band
+            ).localCheckpoint()
+            hist_bands = self._history(spark, self.bands_path, batch_id)
+            within, cross, m = self._family_candidates(
+                new_bands, hist_bands, ["band", "key"]
             )
+            metric_rows.append(("minhash", *m))
+            state_writes.append((new_bands, self.bands_path))
+            vals = sig.select(idc, F.col("sig").alias("_v"))
+            hvals = (
+                hist_sigs.select(idc, F.col("sig").alias("_v"))
+                if hist_sigs is not None
+                else None
+            )
+            for cand, is_cross, kind in ((within, False, "within"),
+                                         (cross, True, "history")):
+                if cand is None:
+                    continue
+                ok = self._estimated(
+                    self._fetch(cand, vals, hvals, is_cross)
+                    .withColumnRenamed("_va", "_sa")
+                    .withColumnRenamed("_vb", "_sb")
+                )
+                pair_parts.append(
+                    ok.select("id_a", "id_b", "jaccard_est", null_ham,
+                              F.lit(kind).alias("kind"))
+                )
+
+        if "simhash" in self.families:
+            from cc_net_spark.operators.simhash import _band_exprs
+
+            simbands = (
+                sig.select(
+                    idc, "simhash",
+                    F.explode(F.array(*_band_exprs(self.max_hamming))).alias("_b"),
+                )
+                .select(idc, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+                .localCheckpoint()
+            )
+            hist_simbands = self._history(spark, self.simbands_path, batch_id)
+            within, cross, m = self._family_candidates(
+                simbands, hist_simbands, ["band", "key"]
+            )
+            metric_rows.append(("simhash", *m))
+            state_writes.append((simbands, self.simbands_path))
+            vals = sig.select(idc, F.col("simhash").alias("_v"))
+            hvals = (
+                hist_sigs.select(idc, F.col("simhash").alias("_v"))
+                if hist_sigs is not None
+                else None
+            )
+            ham = F.bit_count(F.col("_va").bitwiseXOR(F.col("_vb")))
+            for cand, is_cross, kind in ((within, False, "simhash_within"),
+                                         (cross, True, "simhash_history")):
+                if cand is None:
+                    continue
+                ok = (
+                    self._fetch(cand, vals, hvals, is_cross)
+                    .withColumn("hamming", ham.cast("int"))
+                    .filter(F.col("hamming") <= self.max_hamming)
+                )
+                pair_parts.append(
+                    ok.select("id_a", "id_b", null_jac, "hamming",
+                              F.lit(kind).alias("kind"))
+                )
+
+        if "exact" in self.families:
+            tkeys = sig.select(idc, "tkey")
+            hist_tkeys = (
+                hist_sigs.select(idc, "tkey") if hist_sigs is not None else None
+            )
+            within, cross, m = self._family_candidates(tkeys, hist_tkeys, ["tkey"])
+            metric_rows.append(("exact", *m))
+            # key equality IS the verdict: identical normalized text
+            for cand, kind in ((within, "exact_within"), (cross, "exact_history")):
+                if cand is None:
+                    continue
+                pair_parts.append(
+                    cand.select(
+                        "id_a", "id_b",
+                        F.lit(1.0).alias("jaccard_est"),
+                        F.lit(0).cast("int").alias("hamming"),
+                        F.lit(kind).alias("kind"),
+                    )
+                )
+
+        pairs = pair_parts[0]
+        for part in pair_parts[1:]:
+            pairs = pairs.unionByName(part)
         pairs = pairs.localCheckpoint()
 
-        # keep-first flags: dup iff matched history, or the LARGER id of a
-        # within-batch pair (candidate_pairs canonicalizes id_a < id_b)
+        # keep-first flags: dup iff matched history (any family), or the
+        # LARGER id of a within pair (candidate_pairs canonicalizes
+        # id_a < id_b)
         dup_ids = (
-            pairs.filter(F.col("kind") == "history").select(F.col("id_a").alias(idc))
+            pairs.filter(F.col("kind").like("%history"))
+            .select(F.col("id_a").alias(idc))
             .unionByName(
-                pairs.filter(F.col("kind") == "within").select(F.col("id_b").alias(idc))
+                pairs.filter(F.col("kind").like("%within"))
+                .select(F.col("id_b").alias(idc))
             )
             .distinct()
             .withColumn("_dup", F.lit(True))
@@ -219,16 +341,18 @@ class IncrementalNearDup:
         # dir is append-only across upgrades, so schema changes require
         # rewriting old partitions (or mergeSchema-aware readers) first
         metrics = spark.createDataFrame(
-            [(int(n_buckets or 0), int(hot_keys or 0), int(hot_rows or 0))],
-            "n_buckets long, n_hot_buckets_dropped long, n_hot_rows_dropped long",
+            metric_rows,
+            "family string, n_buckets long, n_hot_buckets_dropped long, "
+            "n_hot_rows_dropped long",
         )
         write(pairs, _join_path(self.output_path, "pairs"))
         write(flags, _join_path(self.output_path, "flags"))
         write(metrics, _join_path(self.output_path, "metrics"))
         # state appends LAST: a crash before this point leaves no state,
         # and the replay rewrites only this batch's partitions
-        write(sig.select(idc, "n_shingles", "sig"), self.sigs_path)
-        write(new_bands, self.bands_path)
+        write(sig.select(idc, "n_shingles", "sig", "simhash", "tkey"), self.sigs_path)
+        for df, path in state_writes:
+            write(df, path)
 
 
 def compact_state(
@@ -254,8 +378,18 @@ def compact_state(
     ``upto_batch - 1``; a replay of any batch >= upto_batch probes
     ``_batch_id < current`` and still sees all compacted history, while
     partitions >= upto_batch pass through unchanged."""
-    for sub, keys in (("sigs", [id_col]), ("bands", [id_col, "band", "key"])):
-        df = spark.read.parquet(_join_path(state_path, sub))
+    tables = (
+        ("sigs", [id_col]),
+        ("bands", [id_col, "band", "key"]),
+        ("simbands", [id_col, "band", "key"]),
+    )
+    for sub, keys in tables:
+        try:
+            df = spark.read.parquet(_join_path(state_path, sub))
+        except Exception as exc:  # family not enabled -> table absent
+            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                continue
+            raise
         old = df.filter(F.col("_batch_id") < upto_batch)
         w = Window.partitionBy(*keys).orderBy("_batch_id")
         (

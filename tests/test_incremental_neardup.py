@@ -10,10 +10,14 @@ from cc_net_spark.streaming.incremental_neardup import (
     run_incremental_near_dup,
 )
 
-WORDS = [f"w{i:02d}" for i in range(40)]
+# letter-only vocabulary: normalize_for_dedup maps every digit to '0',
+# so digit-suffixed words (w00..w39) would all collapse to ONE token and
+# make shingle sets degenerate — near-dup Jaccard would be meaningless
+_L = "abcdefghijklmnopqrstuvwxyz"
+WORDS = [f"w{_L[i // 26]}{_L[i % 26]}" for i in range(40)]
 BASE = " ".join(WORDS)                     # 36 distinct 5-grams
-OTHER = " ".join(f"x{i:02d}" for i in range(40))
-THIRD = " ".join(f"y{i:02d}" for i in range(40))
+OTHER = " ".join(f"x{_L[i // 26]}{_L[i % 26]}" for i in range(40))
+THIRD = " ".join(f"y{_L[i // 26]}{_L[i % 26]}" for i in range(40))
 
 
 def _batch(spark, rows):
@@ -155,7 +159,7 @@ def test_hot_batch_bucket_is_capped_and_metered(spark, tmp_path):
 
     m = (
         spark.read.parquet(str(tmp_path / "out" / "metrics"))
-        .filter(F.col("_batch_id") == 1)
+        .filter((F.col("_batch_id") == 1) & (F.col("family") == "minhash"))
         .first()
     )
     # the same hot buckets are dropped from the self-join AND excluded
@@ -249,3 +253,65 @@ def test_incremental_union_equals_batch_mode(spark, tmp_path):
     }
     assert got == exp
     assert len(exp) > 0  # the synth corpus plants real near-dups
+
+
+def test_multi_family_incremental(spark, tmp_path):
+    """families=(minhash, simhash, exact): one fused scan per batch feeds
+    all three pair families against their persisted state; each family
+    flags the cross-batch twin it is built to catch."""
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        families=("minhash", "simhash", "exact"),
+    )
+    # 1-of-40 token change: exact shingle J = 31/41 = 0.756 >= 0.5, and
+    # simhash Hamming = 1 <= 4 (verified for this exact vocabulary)
+    near = BASE.replace("wad", "zqwad")
+    nd.process_batch(_batch(spark, [("a0", BASE), ("a1", THIRD)]), 0)
+    nd.process_batch(
+        _batch(spark, [("b0", BASE), ("b1", near), ("b2", OTHER)]), 1
+    )
+
+    pairs = spark.read.parquet(str(tmp_path / "out" / "pairs"))
+    kinds = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in pairs.filter(F.col("_batch_id") == 1).collect()
+    }
+    # b0 == a0 exactly: caught by ALL THREE families
+    assert ("b0", "a0", "history") in kinds
+    assert ("b0", "a0", "simhash_history") in kinds
+    assert ("b0", "a0", "exact_history") in kinds
+    # b1 is a 1-token edit of a0: near-dup families catch it, exact must NOT
+    assert ("b1", "a0", "history") in kinds
+    assert ("b1", "a0", "simhash_history") in kinds
+    assert ("b1", "a0", "exact_history") not in kinds
+    # b0/b1 pair within the batch too
+    assert ("b0", "b1", "within") in kinds
+    assert not any(k.startswith("exact") and a == "b2" for a, _, k in kinds)
+
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert flags == {"b0": True, "b1": True, "b2": False}
+
+    # per-family metrics rows, and simbands state persisted
+    fams = {
+        r["family"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "metrics")).collect()
+    }
+    assert fams == {"minhash", "simhash", "exact"}
+    assert spark.read.parquet(str(tmp_path / "state" / "simbands")).count() > 0
+
+    # replay stays idempotent across all families (repr-keyed sort:
+    # nullable jaccard_est/hamming make raw tuples unorderable)
+    before = sorted(map(tuple, pairs.collect()), key=repr)
+    nd.process_batch(
+        _batch(spark, [("b0", BASE), ("b1", near), ("b2", OTHER)]), 1
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "out" / "pairs")).collect()),
+        key=repr,
+    )
+    assert after == before
