@@ -1527,7 +1527,7 @@ def _sql_incnd_body(subdir: str) -> str:
   WITH b AS (SELECT doc_id, band, key, CAST(_batch_id AS INT) AS bat
              FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/bands/*/*.parquet',
                                hive_partitioning = 1)),
-  sigs AS (SELECT doc_id, sig, CAST(_batch_id AS INT) AS bat
+  sigs AS (SELECT doc_id, sig, simhash, tkey, CAST(_batch_id AS INT) AS bat
            FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/sigs/*/*.parquet',
                              hive_partitioning = 1)),
   sz AS (SELECT bat, band, key, count(*) AS n FROM b GROUP BY bat, band, key),
@@ -1580,6 +1580,108 @@ def _sql_incremental_near_dup() -> str:
         + """
   SELECT batch, id_a, id_b, kind, jaccard_est
   FROM est WHERE jaccard_est >= 0.5
+"""
+    )
+
+
+def q_incremental_multi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-family incremental run: minhash + simhash + exact pair
+    families from ONE fused signature scan per batch, each probing its
+    own persisted state (``families`` knob of ``IncrementalNearDup``).
+
+    Oracle: all three families re-derived in SQL from the exported state
+    — the minhash chain as in ``incremental_near_dup``, the simhash
+    pigeonhole bands reconstructed with shift/mask arithmetic (widths
+    [12,12,12,12,16] for max_hamming=4, exactly ``simhash._band_exprs``)
+    and verified with ``bit_count(xor(...)) <= 4``, and the exact family
+    joined on the full-text sha1-u64 key.
+    """
+    from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
+
+    base = f"{ORACLE_EXPORT}/incnd_mf"
+    _shutil.rmtree(base, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nd = IncrementalNearDup(
+        f"{base}/state", f"{base}/out", text_col="text", id_col="doc_id",
+        families=("minhash", "simhash", "exact"),
+    )
+    nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    nd.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    return spark.read.parquet(f"{base}/out/pairs").select(
+        F.col("_batch_id").cast("int").alias("batch"), "id_a", "id_b", "kind"
+    )
+
+
+def _sql_incremental_multi_family() -> str:
+    return (
+        _sql_incnd_body("incnd_mf")
+        + """
+  , mh AS (SELECT batch, id_a, id_b, kind FROM est WHERE jaccard_est >= 0.5)
+  , simdef(band, s, w) AS (VALUES (0,0,12),(1,12,12),(2,24,12),(3,36,12),(4,48,16))
+  , simb AS (
+    SELECT g.doc_id, g.bat, d.band,
+           (g.simhash >> d.s) & ((CAST(1 AS BIGINT) << d.w) - 1) AS key
+    FROM sigs g CROSS JOIN simdef d
+  ),
+  ssz AS (SELECT bat, band, key, count(*) AS n FROM simb GROUP BY bat, band, key),
+  swithin AS (
+    SELECT DISTINCT l.bat, l.doc_id AS id_a, r.doc_id AS id_b
+    FROM simb l
+    JOIN simb r ON l.bat = r.bat AND l.band = r.band AND l.key = r.key
+            AND l.doc_id < r.doc_id
+    JOIN ssz z ON z.bat = l.bat AND z.band = l.band AND z.key = l.key
+    WHERE z.n BETWEEN 2 AND 200
+  ),
+  shist AS (
+    SELECT h.band, h.key, h.doc_id AS id_old,
+           row_number() OVER (PARTITION BY h.band, h.key ORDER BY h.doc_id) AS rn
+    FROM simb h
+    JOIN (SELECT band, key FROM ssz WHERE bat = 1 AND n <= 200) nk
+      ON h.band = nk.band AND h.key = nk.key
+    WHERE h.bat = 0
+  ),
+  scross AS (
+    SELECT DISTINCT n.doc_id AS id_a, h.id_old AS id_b
+    FROM (SELECT * FROM simb WHERE bat = 1) n
+    JOIN shist h ON n.band = h.band AND n.key = h.key AND h.rn <= 200
+    WHERE n.doc_id <> h.id_old
+  ),
+  sham AS (
+    SELECT c.bat AS batch, c.id_a, c.id_b, c.kind
+    FROM (SELECT bat, id_a, id_b, 'simhash_within' AS kind FROM swithin
+          UNION ALL
+          SELECT CAST(1 AS INT) AS bat, id_a, id_b, 'simhash_history' FROM scross) c
+    JOIN sigs sa ON sa.doc_id = c.id_a AND sa.bat = c.bat
+    JOIN sigs sb ON sb.doc_id = c.id_b
+                AND sb.bat = CASE WHEN c.kind = 'simhash_history' THEN 0 ELSE c.bat END
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 4
+  ),
+  tsz AS (SELECT bat, tkey, count(*) AS n FROM sigs GROUP BY bat, tkey),
+  twithin AS (
+    SELECT DISTINCT l.bat, l.doc_id AS id_a, r.doc_id AS id_b
+    FROM sigs l
+    JOIN sigs r ON l.bat = r.bat AND l.tkey = r.tkey AND l.doc_id < r.doc_id
+    JOIN tsz z ON z.bat = l.bat AND z.tkey = l.tkey
+    WHERE z.n BETWEEN 2 AND 200
+  ),
+  thist AS (
+    SELECT h.tkey, h.doc_id AS id_old,
+           row_number() OVER (PARTITION BY h.tkey ORDER BY h.doc_id) AS rn
+    FROM sigs h
+    JOIN (SELECT tkey FROM tsz WHERE bat = 1 AND n <= 200) nk ON h.tkey = nk.tkey
+    WHERE h.bat = 0
+  ),
+  tcross AS (
+    SELECT DISTINCT n.doc_id AS id_a, h.id_old AS id_b
+    FROM (SELECT * FROM sigs WHERE bat = 1) n
+    JOIN thist h ON n.tkey = h.tkey AND h.rn <= 200
+    WHERE n.doc_id <> h.id_old
+  )
+  SELECT batch, id_a, id_b, kind FROM mh
+  UNION ALL SELECT batch, id_a, id_b, kind FROM sham
+  UNION ALL SELECT bat AS batch, id_a, id_b, 'exact_within' AS kind FROM twithin
+  UNION ALL SELECT CAST(1 AS INT) AS batch, id_a, id_b, 'exact_history' AS kind
+            FROM tcross
 """
     )
 
@@ -1651,6 +1753,7 @@ def registry():
         "video_near_dup": q_video_near_dup,
         "incremental_near_dup": q_incremental_near_dup,
         "incremental_near_dup_flags": q_incremental_near_dup_flags,
+        "incremental_multi_family": q_incremental_multi_family,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -1703,5 +1806,6 @@ def registry():
         # round-3 continuation: streaming LSH state re-derived in SQL
         "incremental_near_dup": _sql_incremental_near_dup(),
         "incremental_near_dup_flags": _sql_incremental_near_dup_flags(),
+        "incremental_multi_family": _sql_incremental_multi_family(),
     }
     return q, o
