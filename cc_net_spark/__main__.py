@@ -77,6 +77,12 @@ def _neardup(argv: list[str]) -> None:
                         "(writes <state>_compacted)")
     a = p.parse_args(argv)
 
+    # validate BEFORE paying JVM/session startup
+    if a.compact_upto is None:
+        for req in ("input", "output", "checkpoint"):
+            if getattr(a, req) is None:
+                p.error(f"--{req} is required unless --compact-upto is given")
+
     from cc_net_spark.session import get_spark
 
     spark = get_spark(app_name="cc_net_spark_neardup")
@@ -88,9 +94,6 @@ def _neardup(argv: list[str]) -> None:
                       id_col=a.id_col)
         print(f"neardup: compacted state batches < {a.compact_upto} -> {out}")
         return
-    for req in ("input", "output", "checkpoint"):
-        if getattr(a, req) is None:
-            p.error(f"--{req} is required unless --compact-upto is given")
     from cc_net_spark.streaming.incremental_neardup import run_incremental_near_dup
 
     run_incremental_near_dup(

@@ -1656,26 +1656,21 @@ def _sql_incremental_multi_family() -> str:
                 AND sb.bat = CASE WHEN c.kind = 'simhash_history' THEN 0 ELSE c.bat END
     WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 4
   ),
-  tsz AS (SELECT bat, tkey, count(*) AS n FROM sigs GROUP BY bat, tkey),
+  -- exact family is CAP-FREE: each dup pairs with its keep-first
+  -- representative (min id per key), mirroring the handler
+  trep AS (SELECT bat, tkey, min(doc_id) AS rep FROM sigs GROUP BY bat, tkey),
   twithin AS (
-    SELECT DISTINCT l.bat, l.doc_id AS id_a, r.doc_id AS id_b
-    FROM sigs l
-    JOIN sigs r ON l.bat = r.bat AND l.tkey = r.tkey AND l.doc_id < r.doc_id
-    JOIN tsz z ON z.bat = l.bat AND z.tkey = l.tkey
-    WHERE z.n BETWEEN 2 AND 200
+    SELECT s.bat, t.rep AS id_a, s.doc_id AS id_b
+    FROM sigs s
+    JOIN trep t ON t.bat = s.bat AND t.tkey = s.tkey
+    WHERE s.doc_id <> t.rep
   ),
-  thist AS (
-    SELECT h.tkey, h.doc_id AS id_old,
-           row_number() OVER (PARTITION BY h.tkey ORDER BY h.doc_id) AS rn
-    FROM sigs h
-    JOIN (SELECT tkey FROM tsz WHERE bat = 1 AND n <= 200) nk ON h.tkey = nk.tkey
-    WHERE h.bat = 0
-  ),
+  threp AS (SELECT tkey, min(doc_id) AS hrep FROM sigs WHERE bat = 0 GROUP BY tkey),
   tcross AS (
-    SELECT DISTINCT n.doc_id AS id_a, h.id_old AS id_b
-    FROM (SELECT * FROM sigs WHERE bat = 1) n
-    JOIN thist h ON n.tkey = h.tkey AND h.rn <= 200
-    WHERE n.doc_id <> h.id_old
+    SELECT s.doc_id AS id_a, h.hrep AS id_b
+    FROM (SELECT * FROM sigs WHERE bat = 1) s
+    JOIN threp h ON h.tkey = s.tkey
+    WHERE s.doc_id <> h.hrep
   )
   SELECT batch, id_a, id_b, kind FROM mh
   UNION ALL SELECT batch, id_a, id_b, kind FROM sham

@@ -58,6 +58,20 @@ def _join_path(base: str, *parts: str) -> str:
     return "/".join([base.rstrip("/"), *parts])
 
 
+def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet dir that may not exist yet. Works on any Hadoop
+    filesystem (a local Path.exists() check would silently misreport on
+    s3a/hdfs); an absent or empty dir reads as None instead of a
+    schema-inference crash."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException; message-gated
+        msg = str(exc)
+        if "UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg:
+            return None
+        raise
+
+
 class IncrementalNearDup:
     """foreachBatch handler holding the persistent LSH-state locations.
 
@@ -69,7 +83,15 @@ class IncrementalNearDup:
     machinery; the substring family is deliberately absent — its gram
     state is ~len(text)/10 rows per doc, which at 10^12 docs is a
     corpus-scale table of its own (run the batch substring pass over
-    compacted corpus snapshots instead)."""
+    compacted corpus snapshots instead).
+
+    All three signature artifacts (MinHash sig, SimHash, exact key) are
+    computed and persisted regardless of the enabled family set — a
+    deliberate trade: the marginal compute rides the one fused scan, and
+    it means a family enabled LATER probes existing state without ever
+    re-reading history text. State/metrics schemas are v1, finalized
+    with the multi-family change; altering them later requires
+    rewriting old partitions (or mergeSchema-aware readers) first."""
 
     def __init__(
         self,
@@ -106,18 +128,8 @@ class IncrementalNearDup:
         self.families = tuple(families)
 
     def _history(self, spark: SparkSession, path: str, before: int) -> DataFrame | None:
-        # works on any Hadoop filesystem (a local Path.exists() check
-        # would silently disable the probe on s3a/hdfs); an empty or
-        # absent state dir (e.g. after an empty first batch) reads as
-        # "no history", not a schema-inference crash
-        try:
-            hist = spark.read.parquet(path)
-        except Exception as exc:  # AnalysisException; message-gated
-            msg = str(exc)
-            if "UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg:
-                return None
-            raise
-        return hist.filter(F.col("_batch_id") < before)
+        hist = _read_optional(spark, path)
+        return None if hist is None else hist.filter(F.col("_batch_id") < before)
 
     def _estimated(self, joined: DataFrame) -> DataFrame:
         agree = F.size(
@@ -285,22 +297,47 @@ class IncrementalNearDup:
                 )
 
         if "exact" in self.families:
+            # the exact family is CAP-FREE: key equality fully determines
+            # the cluster, so no pairwise enumeration is needed — each
+            # dup is paired with its KEEP-FIRST representative (min id in
+            # the batch, or min matching history id). A flood of N
+            # identical texts costs O(N), and — unlike an LSH family —
+            # every copy is flagged (the cap rationale "boilerplate that
+            # exact dedup handles" must not apply to exact dedup itself).
             tkeys = sig.select(idc, "tkey")
-            hist_tkeys = (
-                hist_sigs.select(idc, "tkey") if hist_sigs is not None else None
+            within_rep = tkeys.groupBy("tkey").agg(F.min(idc).alias("_rep"))
+            within = (
+                tkeys.join(within_rep, "tkey")
+                .filter(F.col(idc) != F.col("_rep"))
+                .select(F.col("_rep").alias("id_a"), F.col(idc).alias("id_b"))
             )
-            within, cross, m = self._family_candidates(tkeys, hist_tkeys, ["tkey"])
-            metric_rows.append(("exact", *m))
-            # key equality IS the verdict: identical normalized text
-            for cand, kind in ((within, "exact_within"), (cross, "exact_history")):
-                if cand is None:
-                    continue
+            pair_parts.append(
+                within.select(
+                    "id_a", "id_b",
+                    F.lit(1.0).alias("jaccard_est"),
+                    F.lit(0).cast("int").alias("hamming"),
+                    F.lit("exact_within").alias("kind"),
+                )
+            )
+            n_keys_row = within_rep.agg(F.count(F.lit(1))).first()
+            metric_rows.append(("exact", int(n_keys_row[0] or 0), 0, 0))
+            if hist_sigs is not None:
+                hist_rep = (
+                    hist_sigs.select(idc, "tkey")
+                    .groupBy("tkey")
+                    .agg(F.min(idc).alias("_hrep"))
+                )
+                cross = (
+                    tkeys.join(hist_rep, "tkey")
+                    .filter(F.col(idc) != F.col("_hrep"))
+                    .select(F.col(idc).alias("id_a"), F.col("_hrep").alias("id_b"))
+                )
                 pair_parts.append(
-                    cand.select(
+                    cross.select(
                         "id_a", "id_b",
                         F.lit(1.0).alias("jaccard_est"),
                         F.lit(0).cast("int").alias("hamming"),
-                        F.lit(kind).alias("kind"),
+                        F.lit("exact_history").alias("kind"),
                     )
                 )
 
@@ -384,12 +421,9 @@ def compact_state(
         ("simbands", [id_col, "band", "key"]),
     )
     for sub, keys in tables:
-        try:
-            df = spark.read.parquet(_join_path(state_path, sub))
-        except Exception as exc:  # family not enabled -> table absent
-            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
-                continue
-            raise
+        df = _read_optional(spark, _join_path(state_path, sub))
+        if df is None:  # family not enabled -> table absent
+            continue
         old = df.filter(F.col("_batch_id") < upto_batch)
         w = Window.partitionBy(*keys).orderBy("_batch_id")
         (

@@ -315,3 +315,35 @@ def test_multi_family_incremental(spark, tmp_path):
         key=repr,
     )
     assert after == before
+
+
+def test_exact_family_flood_is_cap_free(spark, tmp_path):
+    """A flood of identical texts past bucket_cap must still be FULLY
+    flagged by the exact family — key equality needs no pairwise
+    enumeration (each dup pairs with its keep-first representative), so
+    the LSH cap rationale does not apply to exact dedup itself."""
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        bucket_cap=10, families=("exact",),
+    )
+    nd.process_batch(_batch(spark, [("h0", BASE)]), 0)
+    nd.process_batch(_batch(spark, [(f"f{i:03d}", BASE) for i in range(25)]), 1)
+
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert all(flags.values()) and len(flags) == 25  # every copy flagged
+    pairs = spark.read.parquet(str(tmp_path / "out" / "pairs")).filter(
+        F.col("_batch_id") == 1
+    )
+    # 25 history pairs (each -> h0) + 24 within pairs (each -> f000)
+    kinds = {r["kind"]: 0 for r in pairs.select("kind").distinct().collect()}
+    for r in pairs.collect():
+        kinds[r["kind"]] += 1
+    assert kinds == {"exact_history": 25, "exact_within": 24}
+    assert pairs.filter(
+        (F.col("kind") == "exact_history") & (F.col("id_b") != "h0")
+    ).count() == 0

@@ -129,8 +129,11 @@ def test_module_cli_neardup_end_to_end(spark, tmp_path):
 
     from cc_net_spark.__main__ import main as mod_main
 
-    base = " ".join(f"w{i:02d}" for i in range(40))
-    other = " ".join(f"x{i:02d}" for i in range(40))
+    # letter-only vocabulary: digits collapse to '0' under
+    # normalize_for_dedup, which would degenerate the shingle sets
+    _l = "abcdefghijklmnopqrstuvwxyz"
+    base = " ".join(f"w{_l[i // 26]}{_l[i % 26]}" for i in range(40))
+    other = " ".join(f"x{_l[i // 26]}{_l[i % 26]}" for i in range(40))
     inp = tmp_path / "in"
     inp.mkdir()
     (inp / "s0.json").write_text(
