@@ -31,8 +31,8 @@ layout as ``streaming/incremental.py``) and, per micro-batch:
    half-written attempt invisible.
 
 Keep-first semantics match the exact incremental path: a clip is a
-near-dup iff it matches an EARLIER batch, or a smaller id within its own
-batch. Reference anchor: cc_net's hash-table merge across shards
+near-dup iff it matches an EARLIER batch (including a re-delivery of an
+id already ingested), or a smaller id within its own batch. Reference anchor: cc_net's hash-table merge across shards
 (``cc_net/dedup.py:92-124``) generalized from exact SHA1 paragraphs to
 MinHash near-duplicates. With an Iceberg catalog the state appends
 become snapshot commits (see ``sources/snapshots.py``).
@@ -207,6 +207,10 @@ class IncrementalNearDup:
         if batch.isEmpty():
             # writing a 0-row batch would create an empty state dir
             return
+        # a malformed shard can repeat a clip_id within one batch; keep
+        # one row per id so every downstream table (sigs state, flags,
+        # rep-joined exact pairs) stays one-row-per-id
+        batch = batch.dropDuplicates([idc])
 
         # ONE fused scan per batch: minhash sig + simhash + exact tkey
         # from one normalization pass (operators/signatures.py); grams
@@ -348,17 +352,27 @@ class IncrementalNearDup:
 
         # keep-first flags: dup iff matched history (any family), or the
         # LARGER id of a within pair (candidate_pairs canonicalizes
-        # id_a < id_b)
-        dup_ids = (
-            pairs.filter(F.col("kind").like("%history"))
-            .select(F.col("id_a").alias(idc))
-            .unionByName(
-                pairs.filter(F.col("kind").like("%within"))
-                .select(F.col("id_b").alias(idc))
+        # id_a < id_b), or a RE-DELIVERY of an id already in history —
+        # an id seen in an earlier batch is by definition not first,
+        # even when it is its key's own history representative (the
+        # pair filters exclude the degenerate self-pair, so the flag
+        # must not depend on a pair existing)
+        dup_sources = [
+            pairs.filter(F.col("kind").like("%history")).select(
+                F.col("id_a").alias(idc)
+            ),
+            pairs.filter(F.col("kind").like("%within")).select(
+                F.col("id_b").alias(idc)
+            ),
+        ]
+        if hist_sigs is not None:
+            dup_sources.append(
+                sig.select(idc).join(hist_sigs.select(idc), idc, "leftsemi")
             )
-            .distinct()
-            .withColumn("_dup", F.lit(True))
-        )
+        dup_ids = dup_sources[0]
+        for src in dup_sources[1:]:
+            dup_ids = dup_ids.unionByName(src)
+        dup_ids = dup_ids.distinct().withColumn("_dup", F.lit(True))
         flags = (
             sig.select(idc)
             .join(dup_ids, idc, "left")

@@ -347,3 +347,30 @@ def test_exact_family_flood_is_cap_free(spark, tmp_path):
     assert pairs.filter(
         (F.col("kind") == "exact_history") & (F.col("id_b") != "h0")
     ).count() == 0
+
+
+def test_redelivered_id_and_duplicate_rows(spark, tmp_path):
+    """Edge regressions from review: (a) a re-delivered id that IS its
+    key's history representative must still be flagged (it is not first);
+    (b) a shard repeating a clip_id must not fan out duplicate pair/flag
+    rows — the batch is deduped by id up front."""
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), families=("exact",)
+    )
+    # a1 < z9 lexically: a1 is the history rep for BASE's key
+    nd.process_batch(_batch(spark, [("a1", BASE), ("z9", BASE)]), 0)
+    # batch 1 re-delivers a1 (twice, simulating a duplicated shard row)
+    nd.process_batch(_batch(spark, [("a1", BASE), ("a1", BASE)]), 1)
+
+    flags = spark.read.parquet(str(tmp_path / "out" / "flags")).filter(
+        F.col("_batch_id") == 1
+    )
+    assert [(r["clip_id"], r["is_near_dup"]) for r in flags.collect()] == [
+        ("a1", True)
+    ]  # exactly ONE row, flagged despite being its key's history rep
+
+    pairs = spark.read.parquet(str(tmp_path / "out" / "pairs")).filter(
+        F.col("_batch_id") == 1
+    )
+    rows = [tuple(r) for r in pairs.select("id_a", "id_b", "kind").collect()]
+    assert len(rows) == len(set(rows))  # no duplicate pair rows
