@@ -255,6 +255,58 @@ def audio_fingerprints(
     return src.mapInPandas(compute, schema=f"{id_col} string, word long")
 
 
+def audio_signatures(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    *,
+    frame: int = 512,
+    bands: int = 16,
+    rel: float = 0.01,
+    paired: bool = True,
+    sketch_bits: int = 64,
+) -> DataFrame:
+    """(id, words array<long>, sketch long) — per-clip fingerprint word
+    set PLUS a waveform sign sketch, from ONE decode pass.
+
+    The sketch is the PCM's sign at ``sketch_bits`` equally spaced
+    sample positions: a state-resident discriminator for fingerprint
+    COLLISIONS — distinct signals whose coarse occupancy words coincide
+    (stationary same-tone content). A true duplicate (same signal, noise
+    floor below full scale) flips only the few sampled points near zero
+    crossings; different signals differ in ~half the bits. Lets an
+    incremental consumer verify candidates from persisted state without
+    ever re-decoding history audio."""
+    src = clips.select(id_col, "codec", "bytes")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, words, sketches = [], [], []
+            for cid, codec, blob in zip(pdf[id_col], pdf["codec"], pdf["bytes"]):
+                try:
+                    _, pcm = decode_clip(codec, bytes(blob))
+                except NotImplementedError:
+                    continue
+                w = _occupancy_words(pcm, frame, bands, rel)
+                keys = (w[:-1] << bands) | w[1:] if paired and len(w) >= 2 else w
+                if len(pcm):
+                    pos = np.linspace(0, len(pcm) - 1, sketch_bits).astype(int)
+                    bits = (pcm[pos] >= 0).astype(np.uint64)
+                    sk = int((bits << np.arange(sketch_bits, dtype=np.uint64)).sum())
+                else:
+                    sk = 0
+                ids.append(cid)
+                words.append(np.unique(keys).tolist())
+                # two's-complement to signed int64 (bit 63 may be set)
+                sketches.append(sk - (1 << 64) if sk >= (1 << 63) else sk)
+            yield pd.DataFrame(
+                {id_col: ids, "words": words, "sketch": sketches}
+            )
+
+    return src.mapInPandas(
+        compute, schema=f"{id_col} string, words array<long>, sketch long"
+    )
+
+
 def audio_near_dup_pairs(
     clips: DataFrame,
     id_col: str = "clip_id",

@@ -48,7 +48,7 @@ from cc_net_spark.operators.minhash import lsh_bands
 from cc_net_spark.operators.pairs import candidate_pairs
 from cc_net_spark.operators.signatures import fused_signatures
 
-FAMILIES = ("minhash", "simhash", "exact")
+FAMILIES = ("minhash", "simhash", "exact", "audio")
 
 
 def _join_path(base: str, *parts: str) -> str:
@@ -78,7 +78,16 @@ class IncrementalNearDup:
     ``families`` selects the pair families (mirroring the flagship batch
     pipeline): ``minhash`` (LSH bands -> estimated-Jaccard verify),
     ``simhash`` (pigeonhole bands -> Hamming verify), ``exact``
-    (full-transcript sha1-u64 key equality). All share ONE fused
+    (full-transcript sha1-u64 key equality), and ``audio`` — the PAYLOAD
+    family: time-paired occupancy fingerprint words over the decoded PCM
+    (``multimodal/audio.py``; requires ``codec``/``bytes`` columns).
+    Audio verification runs entirely against PERSISTED state — word-set
+    Jaccard for recall plus a waveform sign-sketch Hamming bound that
+    discriminates fingerprint collisions (distinct stationary signals
+    can share every coarse occupancy word). Like ``keep_shingles=False``
+    for text, history audio bytes are never re-decoded (the batch pays
+    one decode pass; an exact PCM-SNR verdict, when needed, is a bounded
+    follow-up read of just the matched clips). Text families share ONE fused
     signature scan per batch and the same capped within/history probe
     machinery; the substring family is deliberately absent — its gram
     state is ~len(text)/10 rows per doc, which at 10^12 docs is a
@@ -108,6 +117,8 @@ class IncrementalNearDup:
         max_hamming: int = 4,
         bucket_cap: int = 200,
         families: tuple[str, ...] = ("minhash",),
+        audio_threshold: float = 0.5,
+        audio_max_hamming: int = 8,
     ):
         unknown = set(families) - set(FAMILIES)
         if unknown or not families:
@@ -115,6 +126,7 @@ class IncrementalNearDup:
         self.sigs_path = _join_path(state_path, "sigs")
         self.bands_path = _join_path(state_path, "bands")
         self.simbands_path = _join_path(state_path, "simbands")
+        self.audiosigs_path = _join_path(state_path, "audiosigs")
         self.output_path = output_path
         self.text_col = text_col
         self.id_col = id_col
@@ -126,6 +138,8 @@ class IncrementalNearDup:
         self.max_hamming = max_hamming
         self.bucket_cap = bucket_cap
         self.families = tuple(families)
+        self.audio_threshold = audio_threshold
+        self.audio_max_hamming = audio_max_hamming
 
     def _history(self, spark: SparkSession, path: str, before: int) -> DataFrame | None:
         hist = _read_optional(spark, path)
@@ -345,6 +359,61 @@ class IncrementalNearDup:
                     )
                 )
 
+        if "audio" in self.families:
+            from cc_net_spark.multimodal.audio import audio_signatures
+
+            # one decode pass -> per-clip (words array, waveform sketch);
+            # the compact one-row-per-clip table IS the persisted state
+            asig = audio_signatures(batch, idc).localCheckpoint()
+            hist_asig = self._history(spark, self.audiosigs_path, batch_id)
+            awords = asig.select(idc, F.explode("words").alias("word"))
+            hist_words = (
+                hist_asig.select(idc, F.explode("words").alias("word"))
+                if hist_asig is not None
+                else None
+            )
+            within, cross, m = self._family_candidates(awords, hist_words, ["word"])
+            metric_rows.append(("audio", *m))
+            state_writes.append((asig, self.audiosigs_path))
+            # verify against STATE: word-set Jaccard (recall signal) AND
+            # waveform-sketch Hamming (collision discriminator — distinct
+            # stationary signals can share every coarse occupancy word);
+            # history audio bytes are never re-decoded
+            jac = F.round(
+                F.size(F.array_intersect("_wa", "_wb")).cast("double")
+                / F.size(F.array_union("_wa", "_wb")).cast("double"),
+                6,
+            )
+            ham = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb"))).cast("int")
+            for cand, hist_side, kind in ((within, False, "audio_within"),
+                                          (cross, True, "audio_history")):
+                if cand is None:
+                    continue
+                src_b = hist_asig if hist_side else asig
+                a = asig.select(
+                    F.col(idc).alias("id_a"),
+                    F.col("words").alias("_wa"),
+                    F.col("sketch").alias("_ska"),
+                )
+                b = src_b.select(
+                    F.col(idc).alias("id_b"),
+                    F.col("words").alias("_wb"),
+                    F.col("sketch").alias("_skb"),
+                )
+                ok = (
+                    cand.join(a, "id_a").join(b, "id_b")
+                    .withColumn("jaccard_est", jac)
+                    .withColumn("hamming", ham)
+                    .filter(
+                        (F.col("jaccard_est") >= self.audio_threshold)
+                        & (F.col("hamming") <= self.audio_max_hamming)
+                    )
+                )
+                pair_parts.append(
+                    ok.select("id_a", "id_b", "jaccard_est", "hamming",
+                              F.lit(kind).alias("kind"))
+                )
+
         pairs = pair_parts[0]
         for part in pair_parts[1:]:
             pairs = pairs.unionByName(part)
@@ -433,6 +502,7 @@ def compact_state(
         ("sigs", [id_col]),
         ("bands", [id_col, "band", "key"]),
         ("simbands", [id_col, "band", "key"]),
+        ("audiosigs", [id_col]),
     )
     for sub, keys in tables:
         df = _read_optional(spark, _join_path(state_path, sub))

@@ -374,3 +374,38 @@ def test_redelivered_id_and_duplicate_rows(spark, tmp_path):
     )
     rows = [tuple(r) for r in pairs.select("id_a", "id_b", "kind").collect()]
     assert len(rows) == len(set(rows))  # no duplicate pair rows
+
+
+def test_audio_family_incremental(spark, tmp_path):
+    """The PAYLOAD family: audio fingerprint words probe persisted word
+    state; verification is word-set Jaccard against state (history bytes
+    never re-decoded). On the planted synth corpus the within+history
+    pairs union exactly the expected intra-cluster pairs."""
+    from cc_net_spark.sources import synth
+
+    n = 32
+    clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
+    even = F.expr("CAST(substring(clip_id, 6) AS INT) % 2 = 0")
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), families=("audio",)
+    )
+    nd.process_batch(clips.filter(even), 0)
+    nd.process_batch(clips.filter(~even), 1)
+
+    pairs = spark.read.parquet(str(tmp_path / "out" / "pairs"))
+    got = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in pairs.filter(F.col("kind").like("audio%")).collect()
+    }
+    exp = {
+        frozenset((r["clip_id_a"], r["clip_id_b"]))
+        for r in synth.expected_dup_pairs(spark, n).collect()
+    }
+    assert got == exp and len(exp) > 0
+    # state persisted for future batches; per-family metrics recorded
+    assert spark.read.parquet(str(tmp_path / "state" / "audiosigs")).count() > 0
+    fams = {
+        r["family"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "metrics")).collect()
+    }
+    assert fams == {"audio"}
