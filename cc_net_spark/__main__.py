@@ -71,7 +71,12 @@ def _neardup(argv: list[str]) -> None:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--bucket-cap", type=int, default=200)
     p.add_argument("--families", default="minhash",
-                   help="comma list of pair families: minhash,simhash,exact")
+                   help="comma list of pair families: minhash,simhash,exact,"
+                        "audio (audio needs codec/bytes columns in --schema)")
+    p.add_argument("--audio-threshold", type=float, default=0.5,
+                   help="audio family: min word-set Jaccard")
+    p.add_argument("--audio-max-hamming", type=int, default=8,
+                   help="audio family: max waveform-sketch Hamming")
     p.add_argument("--compact-upto", type=int, default=None, metavar="N",
                    help="compact state batches < N into one partition "
                         "(writes <state>_compacted)")
@@ -101,6 +106,8 @@ def _neardup(argv: list[str]) -> None:
         text_col=a.text_col, id_col=a.id_col,
         threshold=a.threshold, bucket_cap=a.bucket_cap,
         families=tuple(a.families.split(",")),
+        audio_threshold=a.audio_threshold,
+        audio_max_hamming=a.audio_max_hamming,
     )
     print(f"neardup: processed available shards; outputs under {a.output} "
           f"(pairs/, flags/, metrics/), state under {a.state}")

@@ -245,14 +245,22 @@ def audio_fingerprints(
                     _, pcm = decode_clip(codec, bytes(blob))
                 except NotImplementedError:
                     continue
-                w = _occupancy_words(pcm, frame, bands, rel)
-                keys = (w[:-1] << bands) | w[1:] if paired and len(w) >= 2 else w
-                for k in np.unique(keys):
+                for k in np.unique(_fingerprint_keys(pcm, frame, bands, rel, paired)):
                     ids.append(cid)
                     words.append(int(k))
             yield pd.DataFrame({id_col: ids, "word": words})
 
     return src.mapInPandas(compute, schema=f"{id_col} string, word long")
+
+
+def _fingerprint_keys(
+    pcm: np.ndarray, frame: int, bands: int, rel: float, paired: bool
+) -> np.ndarray:
+    """Occupancy words -> (optionally time-paired) candidate keys — the
+    ONE definition shared by the batch pass and the incremental state,
+    so their key spaces can never desynchronize."""
+    w = _occupancy_words(pcm, frame, bands, rel)
+    return (w[:-1] << bands) | w[1:] if paired and len(w) >= 2 else w
 
 
 def audio_signatures(
@@ -275,19 +283,28 @@ def audio_signatures(
     floor below full scale) flips only the few sampled points near zero
     crossings; different signals differ in ~half the bits. Lets an
     incremental consumer verify candidates from persisted state without
-    ever re-decoding history audio."""
+    ever re-decoding history audio.
+
+    A clip whose payload cannot be decoded — stub codec, malformed or
+    null bytes — is emitted with ``decode_ok = false`` and empty
+    words/zero sketch, NOT raised: in a foreachBatch stream a poison
+    record would otherwise fail the batch and replay into the same crash
+    forever. Callers filter on ``decode_ok`` and record the count."""
     src = clips.select(id_col, "codec", "bytes")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, words, sketches = [], [], []
+            ids, oks, words, sketches = [], [], [], []
             for cid, codec, blob in zip(pdf[id_col], pdf["codec"], pdf["bytes"]):
                 try:
                     _, pcm = decode_clip(codec, bytes(blob))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, TypeError):
+                    ids.append(cid)
+                    oks.append(False)
+                    words.append([])
+                    sketches.append(0)
                     continue
-                w = _occupancy_words(pcm, frame, bands, rel)
-                keys = (w[:-1] << bands) | w[1:] if paired and len(w) >= 2 else w
+                keys = _fingerprint_keys(pcm, frame, bands, rel, paired)
                 if len(pcm):
                     pos = np.linspace(0, len(pcm) - 1, sketch_bits).astype(int)
                     bits = (pcm[pos] >= 0).astype(np.uint64)
@@ -295,15 +312,17 @@ def audio_signatures(
                 else:
                     sk = 0
                 ids.append(cid)
+                oks.append(True)
                 words.append(np.unique(keys).tolist())
                 # two's-complement to signed int64 (bit 63 may be set)
                 sketches.append(sk - (1 << 64) if sk >= (1 << 63) else sk)
             yield pd.DataFrame(
-                {id_col: ids, "words": words, "sketch": sketches}
+                {id_col: ids, "decode_ok": oks, "words": words, "sketch": sketches}
             )
 
     return src.mapInPandas(
-        compute, schema=f"{id_col} string, words array<long>, sketch long"
+        compute,
+        schema=f"{id_col} string, decode_ok boolean, words array<long>, sketch long",
     )
 
 

@@ -202,17 +202,36 @@ class IncrementalNearDup:
         return within, cross, (int(n_buckets or 0), int(n_hot or 0), int(n_hot_rows or 0))
 
     @staticmethod
-    def _fetch(pairs: DataFrame, new_vals: DataFrame, hist_vals: DataFrame | None,
-               cross: bool) -> DataFrame:
+    def _first_matching(
+        hist: DataFrame, ids: DataFrame, idc: str
+    ) -> DataFrame:
+        """Restrict a multi-partition history table to the given ids and
+        keep ONE row per id — the EARLIEST batch (keep-first). A clip
+        re-delivered across several earlier batches appears once per
+        batch in state; without this, each candidate would fan out into
+        duplicate pair rows. Bounded: the window runs only over the
+        semi-joined matches, never the whole history."""
+        matched = hist.join(ids, idc, "leftsemi")
+        w = Window.partitionBy(idc).orderBy("_batch_id")
+        return (
+            matched.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _fetch(self, pairs: DataFrame, new_vals: DataFrame,
+               hist_vals: DataFrame | None, cross: bool) -> DataFrame:
         """Join a candidate table to its verification values: id_a always
-        from the batch; id_b from history for cross pairs."""
-        a = new_vals.withColumnRenamed("_v", "_va").withColumnRenamed(
-            new_vals.columns[0], "id_a"
-        )
-        b_src = hist_vals if cross else new_vals
-        b = b_src.withColumnRenamed("_v", "_vb").withColumnRenamed(
-            b_src.columns[0], "id_b"
-        )
+        from the batch; id_b from history (earliest row per id) for
+        cross pairs. ``hist_vals`` must carry ``_batch_id``."""
+        idc = new_vals.columns[0]
+        a = new_vals.withColumnRenamed("_v", "_va").withColumnRenamed(idc, "id_a")
+        if cross:
+            ids = pairs.select(F.col("id_b").alias(idc)).distinct()
+            b_src = self._first_matching(hist_vals, ids, idc).drop("_batch_id")
+        else:
+            b_src = new_vals
+        b = b_src.withColumnRenamed("_v", "_vb").withColumnRenamed(idc, "id_b")
         return pairs.join(a, "id_a").join(b, "id_b")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -228,17 +247,22 @@ class IncrementalNearDup:
 
         # ONE fused scan per batch: minhash sig + simhash + exact tkey
         # from one normalization pass (operators/signatures.py); grams
-        # skipped — no substring family (see class doc)
-        sig = fused_signatures(
-            batch,
-            self.text_col,
-            idc,
-            shingle_size=self.shingle_size,
-            num_perm=self.num_perm,
-            keep_shingles=False,
-            with_grams=False,
-        ).localCheckpoint()
-        hist_sigs = self._history(spark, self.sigs_path, batch_id)
+        # skipped — no substring family (see class doc). Skipped entirely
+        # for a payload-only family set (an audio-only stream need not
+        # carry a transcript column nor pay the text compute).
+        need_text = bool({"minhash", "simhash", "exact"} & set(self.families))
+        sig = hist_sigs = None
+        if need_text:
+            sig = fused_signatures(
+                batch,
+                self.text_col,
+                idc,
+                shingle_size=self.shingle_size,
+                num_perm=self.num_perm,
+                keep_shingles=False,
+                with_grams=False,
+            ).localCheckpoint()
+            hist_sigs = self._history(spark, self.sigs_path, batch_id)
 
         null_jac = F.lit(None).cast("double").alias("jaccard_est")
         null_ham = F.lit(None).cast("int").alias("hamming")
@@ -258,7 +282,7 @@ class IncrementalNearDup:
             state_writes.append((new_bands, self.bands_path))
             vals = sig.select(idc, F.col("sig").alias("_v"))
             hvals = (
-                hist_sigs.select(idc, F.col("sig").alias("_v"))
+                hist_sigs.select(idc, F.col("sig").alias("_v"), "_batch_id")
                 if hist_sigs is not None
                 else None
             )
@@ -295,7 +319,7 @@ class IncrementalNearDup:
             state_writes.append((simbands, self.simbands_path))
             vals = sig.select(idc, F.col("simhash").alias("_v"))
             hvals = (
-                hist_sigs.select(idc, F.col("simhash").alias("_v"))
+                hist_sigs.select(idc, F.col("simhash").alias("_v"), "_batch_id")
                 if hist_sigs is not None
                 else None
             )
@@ -362,10 +386,18 @@ class IncrementalNearDup:
         if "audio" in self.families:
             from cc_net_spark.multimodal.audio import audio_signatures
 
-            # one decode pass -> per-clip (words array, waveform sketch);
-            # the compact one-row-per-clip table IS the persisted state
-            asig = audio_signatures(batch, idc).localCheckpoint()
+            # one decode pass -> per-clip (decode_ok, words, sketch);
+            # the compact one-row-per-clip table IS the persisted state.
+            # Undecodable clips (poison records) are counted, not raised
+            # — a foreachBatch crash would replay into itself forever.
+            asig_all = audio_signatures(batch, idc).localCheckpoint()
+            n_bad = asig_all.filter(~F.col("decode_ok")).count()
+            if n_bad:
+                metric_rows.append(("audio_decode_failures", n_bad, 0, 0))
+            asig = asig_all.filter(F.col("decode_ok"))
             hist_asig = self._history(spark, self.audiosigs_path, batch_id)
+            if hist_asig is not None:
+                hist_asig = hist_asig.filter(F.col("decode_ok"))
             awords = asig.select(idc, F.explode("words").alias("word"))
             hist_words = (
                 hist_asig.select(idc, F.explode("words").alias("word"))
@@ -374,7 +406,7 @@ class IncrementalNearDup:
             )
             within, cross, m = self._family_candidates(awords, hist_words, ["word"])
             metric_rows.append(("audio", *m))
-            state_writes.append((asig, self.audiosigs_path))
+            state_writes.append((asig_all, self.audiosigs_path))
             # verify against STATE: word-set Jaccard (recall signal) AND
             # waveform-sketch Hamming (collision discriminator — distinct
             # stationary signals can share every coarse occupancy word);
@@ -385,16 +417,20 @@ class IncrementalNearDup:
                 6,
             )
             ham = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb"))).cast("int")
+            a = asig.select(
+                F.col(idc).alias("id_a"),
+                F.col("words").alias("_wa"),
+                F.col("sketch").alias("_ska"),
+            )
             for cand, hist_side, kind in ((within, False, "audio_within"),
                                           (cross, True, "audio_history")):
                 if cand is None:
                     continue
-                src_b = hist_asig if hist_side else asig
-                a = asig.select(
-                    F.col(idc).alias("id_a"),
-                    F.col("words").alias("_wa"),
-                    F.col("sketch").alias("_ska"),
-                )
+                if hist_side:
+                    ids = cand.select(F.col("id_b").alias(idc)).distinct()
+                    src_b = self._first_matching(hist_asig, ids, idc)
+                else:
+                    src_b = asig
                 b = src_b.select(
                     F.col(idc).alias("id_b"),
                     F.col("words").alias("_wb"),
@@ -434,16 +470,19 @@ class IncrementalNearDup:
                 F.col("id_b").alias(idc)
             ),
         ]
-        if hist_sigs is not None:
-            dup_sources.append(
-                sig.select(idc).join(hist_sigs.select(idc), idc, "leftsemi")
-            )
+        # every signature table casts the id to string; flags must match
+        batch_ids = batch.select(F.col(idc).cast("string").alias(idc))
+        hist_id_srcs = [hist_sigs] if hist_sigs is not None else []
+        if "audio" in self.families and hist_asig is not None:
+            hist_id_srcs.append(hist_asig)
+        for h in hist_id_srcs:
+            dup_sources.append(batch_ids.join(h.select(idc), idc, "leftsemi"))
         dup_ids = dup_sources[0]
         for src in dup_sources[1:]:
             dup_ids = dup_ids.unionByName(src)
         dup_ids = dup_ids.distinct().withColumn("_dup", F.lit(True))
         flags = (
-            sig.select(idc)
+            batch_ids
             .join(dup_ids, idc, "left")
             .select(idc, F.coalesce("_dup", F.lit(False)).alias("is_near_dup"))
         )
@@ -470,7 +509,11 @@ class IncrementalNearDup:
         write(metrics, _join_path(self.output_path, "metrics"))
         # state appends LAST: a crash before this point leaves no state,
         # and the replay rewrites only this batch's partitions
-        write(sig.select(idc, "n_shingles", "sig", "simhash", "tkey"), self.sigs_path)
+        if need_text:
+            write(
+                sig.select(idc, "n_shingles", "sig", "simhash", "tkey"),
+                self.sigs_path,
+            )
         for df, path in state_writes:
             write(df, path)
 

@@ -409,3 +409,50 @@ def test_audio_family_incremental(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out" / "metrics")).collect()
     }
     assert fams == {"audio"}
+
+
+def test_audio_only_stream_without_transcripts(spark, tmp_path):
+    """families=('audio',) on a payload-only schema (no transcript
+    column): the text scan is skipped entirely; a poison record (stub
+    codec the decoder cannot handle) is counted in metrics, not raised —
+    a foreachBatch crash would replay into itself forever."""
+    from cc_net_spark.multimodal.audio import wav_encode_pcm16
+    import numpy as np
+
+    def clip(cid, freq, phase=0.0):
+        t = np.arange(4096) / 16000.0
+        pcm = 0.5 * np.sin(2 * np.pi * freq * t + phase)
+        return (cid, "pcm_s16le", wav_encode_pcm16(pcm.astype(np.float32), 16000))
+
+    schema = "clip_id string, codec string, bytes binary"
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), families=("audio",)
+    )
+    nd.process_batch(spark.createDataFrame([clip("a0", 440.0)], schema), 0)
+    b1 = spark.createDataFrame(
+        [
+            clip("b0", 440.0, phase=0.001),   # same tone: audio dup of a0
+            clip("b1", 1100.0),               # different tone
+            ("b2", "opus", b"\x00\x01"),      # poison: stub codec
+        ],
+        schema,
+    )
+    nd.process_batch(b1, 1)
+
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert flags["b0"] is True and flags["b1"] is False and flags["b2"] is False
+    m = {
+        r["family"]: r["n_buckets"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "metrics"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert m.get("audio_decode_failures") == 1
+    # no text state was written (no transcript column existed)
+    import os
+    assert not os.path.exists(str(tmp_path / "state" / "sigs"))
