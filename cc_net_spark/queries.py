@@ -1525,10 +1525,10 @@ def q_incremental_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_incnd_body(subdir: str) -> str:
     return f"""
   WITH b AS (SELECT doc_id, band, key, CAST(_batch_id AS INT) AS bat
-             FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/bands/*/*.parquet',
+             FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/bands/**/*.parquet',
                                hive_partitioning = 1)),
   sigs AS (SELECT doc_id, sig, simhash, tkey, CAST(_batch_id AS INT) AS bat
-           FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/sigs/*/*.parquet',
+           FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/sigs/**/*.parquet',
                              hive_partitioning = 1)),
   sz AS (SELECT bat, band, key, count(*) AS n FROM b GROUP BY bat, band, key),
   within_cand AS (

@@ -21,6 +21,15 @@ layout as ``streaming/incremental.py``) and, per micro-batch:
    matched history rows join back to the batch side — history is
    touched ONLY on matching keys, never self-joined; every drop is
    persisted in a per-batch metrics partition (no silent truncation),
+
+   and the history IO itself PRUNES: every state table is written
+   hive-partitioned by ``_batch_id`` AND a key-hash bucket ``_kb``
+   (bands/simbands by (band, key), exactkeys by tkey, audiowords by
+   word, sigs/audiosigs by id), and every history read filters on the
+   batch's collected bucket set — partition pruning skips all
+   non-matching bucket directories, so per-batch state IO is bounded
+   by the batch's key spread, never the corpus (at 10^12-row state a
+   full scan per arriving shard would dwarf the capped compute),
 4. both candidate sets verify on estimated Jaccard (agreeing-minhash
    fraction) — batch sigs are in memory, history sigs join on the
    (few) matched ids,
@@ -119,6 +128,7 @@ class IncrementalNearDup:
         families: tuple[str, ...] = ("minhash",),
         audio_threshold: float = 0.5,
         audio_max_hamming: int = 8,
+        n_state_buckets: int = 64,
     ):
         unknown = set(families) - set(FAMILIES)
         if unknown or not families:
@@ -126,7 +136,10 @@ class IncrementalNearDup:
         self.sigs_path = _join_path(state_path, "sigs")
         self.bands_path = _join_path(state_path, "bands")
         self.simbands_path = _join_path(state_path, "simbands")
+        self.exactkeys_path = _join_path(state_path, "exactkeys")
         self.audiosigs_path = _join_path(state_path, "audiosigs")
+        self.audiowords_path = _join_path(state_path, "audiowords")
+        self.meta_path = _join_path(state_path, "meta")
         self.output_path = output_path
         self.text_col = text_col
         self.id_col = id_col
@@ -140,10 +153,68 @@ class IncrementalNearDup:
         self.families = tuple(families)
         self.audio_threshold = audio_threshold
         self.audio_max_hamming = audio_max_hamming
+        self.n_state_buckets = n_state_buckets
+        self._meta_checked = False
 
-    def _history(self, spark: SparkSession, path: str, before: int) -> DataFrame | None:
+    def _kb_expr(self, cols: list[str]):
+        """The state-bucket of a key: stable hash of the key columns mod
+        ``n_state_buckets``. Written as a hive partition column ``_kb``
+        at state-append time and recomputed on the batch side at probe
+        time, so a history read can partition-prune to only the bucket
+        directories the batch can possibly match."""
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in cols]), F.lit(self.n_state_buckets)
+        ).cast("int")
+
+    def _bucket_ids(self, df: DataFrame, cols: list[str]) -> list[int]:
+        """Distinct state buckets of ``df``'s key columns — at most
+        ``n_state_buckets`` ints, a tiny driver collect that turns the
+        history read into a partition-pruned scan."""
+        rows = df.select(self._kb_expr(cols).alias("_kb")).distinct().collect()
+        return sorted(r["_kb"] for r in rows)
+
+    def _history(
+        self, spark: SparkSession, path: str, before: int, kbs: list[int]
+    ) -> DataFrame | None:
+        """Pruned history read: only partitions with ``_batch_id < before``
+        AND ``_kb`` in the batch's bucket set are touched (both are hive
+        partition columns — the filter prunes directories, not rows)."""
+        if not kbs:
+            return None
         hist = _read_optional(spark, path)
-        return None if hist is None else hist.filter(F.col("_batch_id") < before)
+        if hist is None:
+            return None
+        return hist.filter(
+            (F.col("_batch_id") < before) & F.col("_kb").isin(kbs)
+        )
+
+    def _hist_by_id(
+        self, spark: SparkSession, path: str, before: int, ids: DataFrame, idc: str
+    ) -> DataFrame | None:
+        """Pruned read of an id-bucketed state table (sigs/audiosigs)
+        restricted to the buckets containing ``ids``."""
+        return self._history(spark, path, before, self._bucket_ids(ids, [idc]))
+
+    def _check_meta(self, spark: SparkSession) -> None:
+        """``n_state_buckets`` is baked into the on-disk layout; probing
+        with a different value would silently miss matches. A one-row
+        meta table records it; checked once per handler lifetime."""
+        if self._meta_checked:
+            return
+        meta = _read_optional(spark, self.meta_path)
+        if meta is None:
+            spark.createDataFrame(
+                [(self.n_state_buckets,)], "n_state_buckets int"
+            ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        else:
+            stored = meta.first()["n_state_buckets"]
+            if stored != self.n_state_buckets:
+                raise ValueError(
+                    f"state at {self.meta_path} was written with "
+                    f"n_state_buckets={stored}, handler configured with "
+                    f"{self.n_state_buckets} — probes would miss buckets"
+                )
+        self._meta_checked = True
 
     def _estimated(self, joined: DataFrame) -> DataFrame:
         agree = F.size(
@@ -156,18 +227,28 @@ class IncrementalNearDup:
         )
 
     def _family_candidates(
-        self, new_rows: DataFrame, hist_rows: DataFrame | None, keys: list[str]
+        self,
+        spark: SparkSession,
+        new_rows: DataFrame,
+        keys: list[str],
+        hist_path: str,
+        batch_id: int,
     ):
         """Shared within/history candidate machinery for one keyed family.
 
         Within: the skew-capped bucket self-join (id_a < id_b canonical).
         History: asymmetric capped probe — batch-side hot buckets
         (> bucket_cap, the same boilerplate discipline as the self-join)
-        are excluded up front, the history side is row_number-capped per
+        are excluded up front, the history side is read partition-PRUNED
+        to the batch's non-hot key buckets and then row_number-capped per
         bucket, so a hot key fans out at most cap x cap rows, never
-        |batch| x cap. Sizes count DISTINCT (bucket, id) rows, matching
-        candidate_pairs' own sizing. Returns (within, cross|None,
-        (n_buckets, n_hot, n_hot_rows))."""
+        |batch| x cap, and the history SCAN is bounded by the batch's key
+        spread, never the corpus. Sizes count DISTINCT (bucket, id) rows,
+        matching candidate_pairs' own sizing. The bucket-id set rides the
+        same single action as the drop metrics. Returns (within,
+        cross|None, (n_buckets, n_hot, n_hot_rows)); ``cross`` is
+        checkpointed — callers collect its id buckets for the
+        verification fetch without re-running the probe join."""
         idc = self.id_col
         within = candidate_pairs(new_rows, keys, idc, bucket_cap=self.bucket_cap)
         bsz = (
@@ -176,11 +257,15 @@ class IncrementalNearDup:
             .agg(F.count(F.lit(1)).alias("_bsz"))
         )
         is_hot = F.col("_bsz") > self.bucket_cap
-        n_buckets, n_hot, n_hot_rows = bsz.agg(
+        n_buckets, n_hot, n_hot_rows, kb_set = bsz.agg(
             F.count(F.lit(1)),
             F.sum(is_hot.cast("long")),
             F.sum(F.when(is_hot, F.col("_bsz")).otherwise(0)),
+            F.collect_set(F.when(~is_hot, self._kb_expr(keys))),
         ).first()
+        hist_rows = self._history(
+            spark, hist_path, batch_id, sorted(kb_set or [])
+        )
         cross = None
         if hist_rows is not None:
             new_keys = bsz.filter(~is_hot).select(*keys)
@@ -198,6 +283,7 @@ class IncrementalNearDup:
                 .select(F.col(idc).alias("id_a"), F.col("id_old").alias("id_b"))
                 .filter(F.col("id_a") != F.col("id_b"))
                 .distinct()
+                .localCheckpoint()
             )
         return within, cross, (int(n_buckets or 0), int(n_hot or 0), int(n_hot_rows or 0))
 
@@ -234,12 +320,29 @@ class IncrementalNearDup:
         b = b_src.withColumnRenamed("_v", "_vb").withColumnRenamed(idc, "id_b")
         return pairs.join(a, "id_a").join(b, "id_b")
 
+    def _hist_vals(
+        self, spark: SparkSession, cross: DataFrame | None, batch_id: int,
+        col: str,
+    ) -> DataFrame | None:
+        """Verification values for a cross candidate set: the sigs state
+        read pruned to the buckets holding the matched history ids (the
+        cross side is checkpointed and capped — the collect is tiny)."""
+        if cross is None:
+            return None
+        idc = self.id_col
+        ids = cross.select(F.col("id_b").alias(idc))
+        hsig = self._hist_by_id(spark, self.sigs_path, batch_id, ids, idc)
+        if hsig is None:
+            return None
+        return hsig.select(idc, F.col(col).alias("_v"), "_batch_id")
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         idc = self.id_col
         if batch.isEmpty():
             # writing a 0-row batch would create an empty state dir
             return
+        self._check_meta(spark)
         # a malformed shard can repeat a clip_id within one batch; keep
         # one row per id so every downstream table (sigs state, flags,
         # rep-joined exact pairs) stays one-row-per-id
@@ -251,7 +354,7 @@ class IncrementalNearDup:
         # for a payload-only family set (an audio-only stream need not
         # carry a transcript column nor pay the text compute).
         need_text = bool({"minhash", "simhash", "exact"} & set(self.families))
-        sig = hist_sigs = None
+        sig = None
         if need_text:
             sig = fused_signatures(
                 batch,
@@ -262,33 +365,27 @@ class IncrementalNearDup:
                 keep_shingles=False,
                 with_grams=False,
             ).localCheckpoint()
-            hist_sigs = self._history(spark, self.sigs_path, batch_id)
 
         null_jac = F.lit(None).cast("double").alias("jaccard_est")
         null_ham = F.lit(None).cast("int").alias("hamming")
         pair_parts: list[DataFrame] = []
         metric_rows: list[tuple] = []
-        state_writes: list[tuple[DataFrame, str]] = []
+        state_writes: list[tuple[DataFrame, str, list[str]]] = []
 
         if "minhash" in self.families:
             new_bands = lsh_bands(
                 sig, idc, bands=self.bands, rows_per_band=self.rows_per_band
             ).localCheckpoint()
-            hist_bands = self._history(spark, self.bands_path, batch_id)
             within, cross, m = self._family_candidates(
-                new_bands, hist_bands, ["band", "key"]
+                spark, new_bands, ["band", "key"], self.bands_path, batch_id
             )
             metric_rows.append(("minhash", *m))
-            state_writes.append((new_bands, self.bands_path))
+            state_writes.append((new_bands, self.bands_path, ["band", "key"]))
             vals = sig.select(idc, F.col("sig").alias("_v"))
-            hvals = (
-                hist_sigs.select(idc, F.col("sig").alias("_v"), "_batch_id")
-                if hist_sigs is not None
-                else None
-            )
+            hvals = self._hist_vals(spark, cross, batch_id, "sig")
             for cand, is_cross, kind in ((within, False, "within"),
                                          (cross, True, "history")):
-                if cand is None:
+                if cand is None or (is_cross and hvals is None):
                     continue
                 ok = self._estimated(
                     self._fetch(cand, vals, hvals, is_cross)
@@ -311,22 +408,17 @@ class IncrementalNearDup:
                 .select(idc, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
                 .localCheckpoint()
             )
-            hist_simbands = self._history(spark, self.simbands_path, batch_id)
             within, cross, m = self._family_candidates(
-                simbands, hist_simbands, ["band", "key"]
+                spark, simbands, ["band", "key"], self.simbands_path, batch_id
             )
             metric_rows.append(("simhash", *m))
-            state_writes.append((simbands, self.simbands_path))
+            state_writes.append((simbands, self.simbands_path, ["band", "key"]))
             vals = sig.select(idc, F.col("simhash").alias("_v"))
-            hvals = (
-                hist_sigs.select(idc, F.col("simhash").alias("_v"), "_batch_id")
-                if hist_sigs is not None
-                else None
-            )
+            hvals = self._hist_vals(spark, cross, batch_id, "simhash")
             ham = F.bit_count(F.col("_va").bitwiseXOR(F.col("_vb")))
             for cand, is_cross, kind in ((within, False, "simhash_within"),
                                          (cross, True, "simhash_history")):
-                if cand is None:
+                if cand is None or (is_cross and hvals is None):
                     continue
                 ok = (
                     self._fetch(cand, vals, hvals, is_cross)
@@ -363,9 +455,20 @@ class IncrementalNearDup:
             )
             n_keys_row = within_rep.agg(F.count(F.lit(1))).first()
             metric_rows.append(("exact", int(n_keys_row[0] or 0), 0, 0))
-            if hist_sigs is not None:
+            state_writes.append((tkeys, self.exactkeys_path, ["tkey"]))
+            # history probe over the tkey-bucketed exactkeys state: the
+            # read prunes to the batch's tkey buckets, the broadcast
+            # semijoin then narrows to exactly the batch's keys — the
+            # min-id representative is computed over matching keys only,
+            # never a corpus-wide groupBy
+            hist_ek = self._history(
+                spark, self.exactkeys_path, batch_id,
+                self._bucket_ids(tkeys, ["tkey"]),
+            )
+            if hist_ek is not None:
+                batch_tkeys = tkeys.select("tkey").distinct()
                 hist_rep = (
-                    hist_sigs.select(idc, "tkey")
+                    hist_ek.join(F.broadcast(batch_tkeys), "tkey")
                     .groupBy("tkey")
                     .agg(F.min(idc).alias("_hrep"))
                 )
@@ -395,18 +498,24 @@ class IncrementalNearDup:
             if n_bad:
                 metric_rows.append(("audio_decode_failures", n_bad, 0, 0))
             asig = asig_all.filter(F.col("decode_ok"))
-            hist_asig = self._history(spark, self.audiosigs_path, batch_id)
-            if hist_asig is not None:
-                hist_asig = hist_asig.filter(F.col("decode_ok"))
+            # the exploded (id, word) rows are their own word-bucketed
+            # state table — the probe prunes on word buckets, which a
+            # one-row-per-clip array table cannot offer
             awords = asig.select(idc, F.explode("words").alias("word"))
-            hist_words = (
-                hist_asig.select(idc, F.explode("words").alias("word"))
-                if hist_asig is not None
-                else None
+            within, cross, m = self._family_candidates(
+                spark, awords, ["word"], self.audiowords_path, batch_id
             )
-            within, cross, m = self._family_candidates(awords, hist_words, ["word"])
             metric_rows.append(("audio", *m))
-            state_writes.append((asig_all, self.audiosigs_path))
+            state_writes.append((awords, self.audiowords_path, ["word"]))
+            state_writes.append((asig_all, self.audiosigs_path, [idc]))
+            hist_asig = None
+            if cross is not None:
+                hist_asig = self._hist_by_id(
+                    spark, self.audiosigs_path, batch_id,
+                    cross.select(F.col("id_b").alias(idc)), idc,
+                )
+                if hist_asig is not None:
+                    hist_asig = hist_asig.filter(F.col("decode_ok"))
             # verify against STATE: word-set Jaccard (recall signal) AND
             # waveform-sketch Hamming (collision discriminator — distinct
             # stationary signals can share every coarse occupancy word);
@@ -424,7 +533,7 @@ class IncrementalNearDup:
             )
             for cand, hist_side, kind in ((within, False, "audio_within"),
                                           (cross, True, "audio_history")):
-                if cand is None:
+                if cand is None or (hist_side and hist_asig is None):
                     continue
                 if hist_side:
                     ids = cand.select(F.col("id_b").alias(idc)).distinct()
@@ -470,12 +579,23 @@ class IncrementalNearDup:
                 F.col("id_b").alias(idc)
             ),
         ]
-        # every signature table casts the id to string; flags must match
+        # every signature table casts the id to string; flags must match.
+        # The re-delivery check reads each id-bucketed state table pruned
+        # to the BATCH ids' buckets (for a large batch that is every
+        # bucket — correct: every id must be checked — but a small late
+        # shard touches only its own buckets).
         batch_ids = batch.select(F.col(idc).cast("string").alias(idc))
-        hist_id_srcs = [hist_sigs] if hist_sigs is not None else []
-        if "audio" in self.families and hist_asig is not None:
-            hist_id_srcs.append(hist_asig)
-        for h in hist_id_srcs:
+        redeliv_paths = []
+        if need_text:
+            redeliv_paths.append((self.sigs_path, None))
+        if "audio" in self.families:
+            redeliv_paths.append((self.audiosigs_path, F.col("decode_ok")))
+        for path, extra in redeliv_paths:
+            h = self._hist_by_id(spark, path, batch_id, batch_ids, idc)
+            if h is None:
+                continue
+            if extra is not None:
+                h = h.filter(extra)
             dup_sources.append(batch_ids.join(h.select(idc), idc, "leftsemi"))
         dup_ids = dup_sources[0]
         for src in dup_sources[1:]:
@@ -496,6 +616,21 @@ class IncrementalNearDup:
             # never hit UNABLE_TO_INFER_SCHEMA
             df.write.mode("overwrite").parquet(_join_path(path, f"_batch_id={batch_id}"))
 
+        def write_state(df: DataFrame, path: str, kb_cols: list[str]) -> None:
+            # state tables get a second hive level ``_kb`` (key-hash
+            # bucket) under the batch dir, so history probes prune; the
+            # static overwrite still truncates exactly this batch's dir
+            # on replay. State frames of a non-empty batch are non-empty
+            # (>= 1 row per id) except audiowords when every clip failed
+            # decode — an empty dir then reads as absent, which is the
+            # correct "no probeable state" answer.
+            (
+                df.withColumn("_kb", self._kb_expr(kb_cols))
+                .write.mode("overwrite")
+                .partitionBy("_kb")
+                .parquet(_join_path(path, f"_batch_id={batch_id}"))
+            )
+
         # NOTE: this schema is part of the on-disk contract — the metrics
         # dir is append-only across upgrades, so schema changes require
         # rewriting old partitions (or mergeSchema-aware readers) first
@@ -510,12 +645,13 @@ class IncrementalNearDup:
         # state appends LAST: a crash before this point leaves no state,
         # and the replay rewrites only this batch's partitions
         if need_text:
-            write(
+            write_state(
                 sig.select(idc, "n_shingles", "sig", "simhash", "tkey"),
                 self.sigs_path,
+                [idc],
             )
-        for df, path in state_writes:
-            write(df, path)
+        for df, path, kb_cols in state_writes:
+            write_state(df, path, kb_cols)
 
 
 def compact_state(
@@ -545,8 +681,15 @@ def compact_state(
         ("sigs", [id_col]),
         ("bands", [id_col, "band", "key"]),
         ("simbands", [id_col, "band", "key"]),
+        ("exactkeys", [id_col, "tkey"]),
         ("audiosigs", [id_col]),
+        ("audiowords", [id_col, "word"]),
     )
+    meta = _read_optional(spark, _join_path(state_path, "meta"))
+    if meta is not None:
+        meta.coalesce(1).write.mode("overwrite").parquet(
+            _join_path(out_path, "meta")
+        )
     for sub, keys in tables:
         df = _read_optional(spark, _join_path(state_path, sub))
         if df is None:  # family not enabled -> table absent
@@ -557,7 +700,10 @@ def compact_state(
             old.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_batch_id")
+            # ``_kb`` survives as a read-back partition column — keep the
+            # bucketed layout so probes against compacted state prune too
             .write.mode("overwrite")
+            .partitionBy("_kb")
             .parquet(_join_path(out_path, sub, f"_batch_id={upto_batch - 1}"))
         )
         # uncompacted (possibly replayable) batches: copied verbatim,
@@ -565,7 +711,7 @@ def compact_state(
         (
             df.filter(F.col("_batch_id") >= upto_batch)
             .write.mode("append")
-            .partitionBy("_batch_id")
+            .partitionBy("_batch_id", "_kb")
             .parquet(_join_path(out_path, sub))
         )
 

@@ -456,3 +456,85 @@ def test_audio_only_stream_without_transcripts(spark, tmp_path):
     # no text state was written (no transcript column existed)
     import os
     assert not os.path.exists(str(tmp_path / "state" / "sigs"))
+
+
+def test_history_probe_prunes_state_buckets(spark, tmp_path, monkeypatch):
+    """The round-4 scale contract: an arriving shard's history probe
+    READS only the state buckets its keys hash into — partition pruning
+    on the ``_kb`` hive level — never a full scan of persisted state.
+
+    Evidence: (a) every ``_history`` call during the probe passes a
+    bucket set strictly smaller than the buckets present on disk, and
+    (b) the pruned read's physical plan carries both partition columns
+    in PartitionFilters (Spark prunes the file index on those — no
+    non-matching directory is ever listed into the scan)."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), n_state_buckets=256
+    )
+    # 40 history docs with disjoint vocabularies: 40 x 32 band keys
+    # spread across most of the 256 state buckets
+    hist_rows = [
+        (f"h{i:02d}", " ".join(f"{_L[i // 26]}{_L[i % 26]}{w}" for w in WORDS))
+        for i in range(40)
+    ]
+    nd.process_batch(_batch(spark, hist_rows), 0)
+    bands_dir = tmp_path / "state" / "bands" / "_batch_id=0"
+    n_disk_buckets = len([d for d in os.listdir(bands_dir) if d.startswith("_kb=")])
+    assert n_disk_buckets > 40  # history really is spread wide
+
+    calls: list[tuple[str, tuple[int, ...]]] = []
+    orig = IncrementalNearDup._history
+
+    def spy(self, spark_, path, before, kbs):
+        calls.append((path.rsplit("/", 1)[-1], tuple(kbs)))
+        return orig(self, spark_, path, before, kbs)
+
+    monkeypatch.setattr(IncrementalNearDup, "_history", spy)
+    # the arriving shard: ONE doc repeating h07's text -> 32 band keys
+    nd.process_batch(_batch(spark, [("z0", hist_rows[7][1])]), 1)
+
+    assert calls, "probe made no history reads"
+    for table, kbs in calls:
+        # every read is pruned to a strict subset of on-disk buckets:
+        # band keys of one doc -> <= 32 of 256; id-keyed reads -> 1
+        assert 0 < len(kbs) <= 33, (table, len(kbs))
+        assert len(kbs) < n_disk_buckets, (table, len(kbs), n_disk_buckets)
+    # ... and the dup was still found through the pruned reads
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert flags == {"z0": True}
+
+    # plan-level evidence: both hive levels appear as PartitionFilters
+    monkeypatch.setattr(IncrementalNearDup, "_history", orig)
+    pruned = nd._history(spark, nd.bands_path, 2, kbs=[0, 1, 2])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "_kb" in pf[0] and "_batch_id" in pf[0], plan
+
+
+def test_mismatched_state_bucket_count_is_rejected(spark, tmp_path):
+    """n_state_buckets is baked into the state layout; probing with a
+    different value would silently miss matches — the meta table turns
+    that into a loud construction-time error."""
+    import pytest
+
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), n_state_buckets=64
+    )
+    nd.process_batch(_batch(spark, [("a0", BASE)]), 0)
+    bad = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out2"), n_state_buckets=32
+    )
+    with pytest.raises(ValueError, match="n_state_buckets"):
+        bad.process_batch(_batch(spark, [("b0", BASE)]), 1)
