@@ -84,6 +84,64 @@ def _fasttext_lid(df: DataFrame, text_col: str, model_path: str) -> DataFrame:
     return df.mapInPandas(predict, schema=out_schema)
 
 
+def lid_topk(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_col: str = "lid",
+    k: int = 5,
+    rounding: int = 2,
+    model_path: str | None = None,
+) -> DataFrame:
+    """Adds a top-k language map column ``{lang: score}`` — the output
+    shape of the reference's ``Classifier(top=5, rounding=2)`` used for
+    ``lid_before_dedup``/``lid_after_dedup`` (``cc_net/split_by_lang.py:
+    52-112``, ``cc_net/mine.py:362-376``). Backend: fastText top-k when
+    available; otherwise the stopword hit-rate ranking (JVM expressions,
+    deterministic score-desc/lang-asc order)."""
+    if model_path is not None and fasttext_available():
+        return _fasttext_lid_topk(df, text_col, out_col, k, rounding, model_path)
+    from cc_net_spark.functions.text import lid_topk_expr
+
+    return df.withColumn(
+        out_col, lid_topk_expr(F.col(text_col), k=k, rounding=rounding)
+    )
+
+
+def _fasttext_lid_topk(
+    df: DataFrame, text_col: str, out_col: str, k: int, rounding: int,
+    model_path: str,
+) -> DataFrame:
+    """Real backend: fastText predict(k) over Arrow batches, model loaded
+    once per python worker (``split_by_lang.py:81-82,95-96``: newline
+    strip, scores rounded to ``rounding``)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    fields = ", ".join(f"{c.name} {c.dataType.simpleString()}" for c in df.schema)
+    out_schema = f"{fields}, {out_col} map<string,double>"
+
+    def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import fasttext
+
+        model = fasttext.load_model(model_path)
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").str.replace("\n", " ").tolist()
+            labels, scores = model.predict(texts, k=k)
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                {
+                    l.replace("__label__", ""): round(float(s), rounding)
+                    for l, s in zip(ls, ss)
+                }
+                for ls, ss in zip(labels, scores)
+            ]
+            yield pdf
+
+    return df.mapInPandas(predict, schema=out_schema)
+
+
 def keep_lang(df: DataFrame, langs: list[str], lang_col: str = "lang") -> DataFrame:
     """``jsonql.where`` keep_lang step (``cc_net/mine.py:38``)."""
     return df.filter(F.col(lang_col).isin(*langs))

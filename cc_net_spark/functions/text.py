@@ -57,6 +57,54 @@ def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> Dat
     return df.withColumn(out_col, pred)
 
 
+def lid_topk_expr(text: Column, *, k: int = 5, rounding: int = 2) -> Column:
+    """Top-k language map ``{lang: score}`` — parity with the reference's
+    ``Classifier(top=5, rounding=2)`` output shape
+    (``cc_net/split_by_lang.py:52-112``): scores rounded to ``rounding``
+    decimals, entries ranked by score desc then lang asc (the fallback's
+    deterministic tie-break; fastText probabilities never tie).
+
+    Pure JVM expressions (codegen): stopword hit-rate per language,
+    ranked via sort_array on (1 - score, lang) structs. Null text scores
+    as empty text."""
+    t = F.coalesce(text, F.lit(""))
+    words = _words(t)
+    n = F.size(words)
+    entries = F.array(
+        *[
+            F.struct(
+                (
+                    F.size(F.filter(words, lambda w: w.isin(*sw))).cast("double") / n
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in STOPWORDS.items()
+        ]
+    )
+    # sort key (1 - score, lang): ascending sort = score desc, lang asc
+    # (1 - s instead of -s dodges the -0.0 ordering corner)
+    ranked = F.sort_array(
+        F.transform(
+            entries,
+            lambda e: F.struct(
+                (F.lit(1.0) - e["score"]).alias("_inv"),
+                e["lang"].alias("lang"),
+                e["score"].alias("score"),
+            ),
+        )
+    )
+    top = F.slice(ranked, 1, k)
+    return F.map_from_entries(
+        F.transform(
+            top,
+            lambda e: F.struct(
+                e["lang"].alias("key"),
+                F.round(e["score"], rounding).alias("value"),
+            ),
+        )
+    )
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Length / punctuation / stopword-ratio features (model-free quality
     scoring — the perplexity stand-in)."""

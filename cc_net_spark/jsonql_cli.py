@@ -130,6 +130,126 @@ def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return wide.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
+def describe_labels(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    top: int = 100,
+    floor: int = 5,
+    max_label_len: int = 100,
+) -> DataFrame:
+    """Top-N label value counts per string column — the `describe` label
+    output (``cc_net/jsonql.py:829-838`` ``display_stats`` top-100 with
+    the n >= 5 floor; values collected at ``jsonql.py:858-864``). Values
+    longer than ``MAX_LABEL_LEN`` (100) are not labels, exactly as the
+    reference skips them per value. The reference also caps its counter
+    dict at 1000 distinct labels — a pure streaming-memory bound that a
+    groupBy does not need (and which made its counts order-dependent).
+
+    One scan: (column, label) pairs exploded from literal structs, one
+    groupBy, a per-column top-N window. ``ratio`` = n / n_present of the
+    column (the percentage ``display_stats`` prints). Ties at the top-N
+    cutoff break deterministically by label asc."""
+    from pyspark.sql.types import StringType
+    from pyspark.sql.window import Window
+
+    str_cols = [
+        f.name
+        for f in df.schema
+        if isinstance(f.dataType, StringType) and (cols is None or f.name in cols)
+    ]
+    if not str_cols:
+        raise ValueError("no string columns to count labels over")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column"), F.col(c).alias("label"))
+                    for c in str_cols
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.*")
+    present = pairs.filter(F.col("label").isNotNull())
+    n_present = present.groupBy("column").agg(F.count(F.lit(1)).alias("_np"))
+    counted = (
+        present.filter(F.length("label") <= max_label_len)
+        .groupBy("column", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("column").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        counted.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") <= top) & (F.col("n") >= floor))
+        .join(n_present, "column")
+        .select(
+            "column",
+            "label",
+            "n",
+            F.round(F.col("n") / F.col("_np"), 6).alias("ratio"),
+        )
+    )
+
+
+def histogram_df(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bins: int = 10,
+    weight_col: str | None = None,
+    cumulative: bool = False,
+) -> DataFrame:
+    """np.histogram-compatible fixed-count histogram — the `describe`
+    numeric profile (``cc_net/jsonql.py:748-766`` ``histogram`` +
+    ``display_stats`` weighted/cumulative options, ``jsonql.py:801-826``):
+    ``bins`` uniform buckets over [min, max], rightmost edge inclusive,
+    EMPTY buckets emitted as zero rows. Bucket index uses numpy's
+    ``(v - lo) * bins / (hi - lo)`` rounding (verified bit-identical on
+    the reference's own test vectors). With a weight column the bin
+    edges still come from the values alone, then weights are summed per
+    bin — the reference's exact two-step. ``cumulative`` running-sums
+    the counts (``display_stats(cumulative=True)``).
+
+    Returns (bucket, bin_lo, bin_hi, n); n is double (weight sums).
+    One pass for the edges (min/max agg) + one for the counts."""
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    if hi == lo:  # np.histogram's degenerate-range rule
+        lo, hi = lo - 0.5, hi + 0.5
+    idx = F.least(
+        F.floor((v - F.lit(lo)) * F.lit(float(bins)) / F.lit(hi - lo)).cast("int"),
+        F.lit(bins - 1),
+    )
+    wcol = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    grouped = (
+        df.select(idx.alias("bucket"), wcol.alias("_w"))
+        .groupBy("bucket")
+        .agg(F.sum("_w").alias("n"))
+    )
+    width = (hi - lo) / bins
+    full = (
+        spark.range(bins)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(grouped, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias(
+                "bin_hi"
+            ),
+            F.coalesce("n", F.lit(0.0)).alias("n"),
+        )
+    )
+    if cumulative:
+        from pyspark.sql.window import Window
+
+        cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        full = full.withColumn("n", F.sum("n").over(cw))
+    return full.withColumn("n", F.round("n", 6))
+
+
 def apply_command(df: DataFrame, cmd: list[str]):
     """-> (df, partition_by | None). One reference pipe group."""
     verb, args = cmd[0], cmd[1:]
@@ -141,6 +261,23 @@ def apply_command(df: DataFrame, cmd: list[str]):
         return df.filter(F.expr(translate_expr(args[0]))), None
     if verb == "describe":
         return describe(df, args or None), None
+    if verb == "labels":
+        return describe_labels(df, args or None), None
+    if verb == "histogram":
+        # histogram COL [bins=N] [weights=COL] [cumulative]
+        if not args:
+            raise SystemExit("histogram takes a value column")
+        kw: dict = {}
+        for a in args[1:]:
+            if a == "cumulative":
+                kw["cumulative"] = True
+            elif a.startswith("bins="):
+                kw["bins"] = int(a[5:])
+            elif a.startswith("weights="):
+                kw["weight_col"] = a[8:]
+            else:
+                raise SystemExit(f"histogram: unknown option {a}")
+        return histogram_df(df, args[0], **kw), None
     if verb == "split":
         if len(args) != 1:
             raise SystemExit("split takes exactly one field")
@@ -149,7 +286,10 @@ def apply_command(df: DataFrame, cmd: list[str]):
         if len(args) != 1:
             raise SystemExit("shard takes exactly one partition count")
         return df.repartition(int(args[0])), None
-    raise SystemExit(f"unknown command: {verb} (select|where|describe|split|shard)")
+    raise SystemExit(
+        f"unknown command: {verb} "
+        "(select|where|describe|labels|histogram|split|shard)"
+    )
 
 
 def run(

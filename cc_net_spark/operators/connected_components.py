@@ -119,6 +119,7 @@ def connected_components(
     max_iterations: int = 25,
     driver_threshold: int = 2_000_000,
     edge_count: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``edges``.
 
@@ -133,19 +134,45 @@ def connected_components(
     ``edge_count``: a caller-known upper bound on the (pre-dedup) edge
     count; when provided and <= driver_threshold, the sizing count() job
     is skipped entirely (the edges stage manifest already knows its rows).
+
+    ``checkpoint_dir``: DURABLE per-round checkpointing for cluster runs
+    (SURVEY.md §7.1 step 5). ``localCheckpoint`` blocks are executor-local
+    — on a 1000-executor run a single lost executor would force
+    recomputing a truncated lineage that no longer exists. With a
+    directory (hdfs/s3a/posix), each round's edge set is written to
+    parquet and read back: lineage is cut AND the round survives executor
+    loss. Two paths are ping-ponged so storage stays at ~2x one round.
+    The single-box default stays ``localCheckpoint`` (no write amp).
     """
     e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     if driver_threshold and edge_count is not None and edge_count <= driver_threshold:
         return _driver_union_find(e)
-    # lazy checkpoint: materialized by whichever action touches it next
-    # (the sizing count or the first round's fingerprint) — one scheduling
-    # round trip instead of two per step.
-    e = e.localCheckpoint(eager=False)
+
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        pingpong = [f"{checkpoint_dir.rstrip('/')}/round_{i}" for i in (0, 1)]
+
+        def _cut(df: DataFrame, rnd: int) -> DataFrame:
+            # round r is only overwritten once round r+1 is fully
+            # materialized in the OTHER path, so a crash mid-write
+            # always leaves the previous round readable
+            path = pingpong[rnd % 2]
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+    else:
+
+        def _cut(df: DataFrame, rnd: int) -> DataFrame:
+            # lazy checkpoint: materialized by whichever action touches
+            # it next (the sizing count or the round's fingerprint) —
+            # one scheduling round trip instead of two per step.
+            return df.localCheckpoint(eager=False)
+
+    e = _cut(e, 0)
     if driver_threshold and e.count() <= driver_threshold:
         return _driver_union_find(e)
     prev = None
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+    for rnd in range(1, max_iterations + 1):
+        e = _cut(_small_star(_large_star(e)), rnd)
         fp = _fingerprint(e)
         if fp == prev:
             break

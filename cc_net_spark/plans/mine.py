@@ -43,11 +43,24 @@ def mine(
     sp_model: str | None = None,
     lm_model: str | None = None,
     output_path: str | None = None,
+    lid_maps: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the default mine pipeline; returns {"docs": cleaned+scored,
     "metadata": minified}. When ``output_path`` is given, docs are also
-    written partitioned by (lang, bucket) — the ``split_by_lang`` sink."""
+    written partitioned by (lang, bucket) — the ``split_by_lang`` sink.
+
+    ``lid_maps=True`` adds the reference's top-5 language maps
+    ``lid_before_dedup`` (on the raw text) and ``lid_after_dedup`` (on
+    the dedup-surviving text) — ``cc_net/mine.py:362-376``."""
+    if lid_maps:
+        docs = scorers.lid_topk(
+            docs, text_col, out_col="lid_before_dedup", model_path=lid_model
+        )
     deduped = ed.deduplicate_two_pass(docs, text_col, id_col)
+    if lid_maps:
+        deduped = scorers.lid_topk(
+            deduped, text_col, out_col="lid_after_dedup", model_path=lid_model
+        )
     scored = scorers.classify_and_score(
         deduped,
         text_col,

@@ -369,6 +369,65 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs, "text").select("doc_id", "lang_pred")
 
 
+def q_lid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 language map per doc — the reference's
+    ``lid_before_dedup``/``lid_after_dedup`` output shape
+    (``cc_net/split_by_lang.py:52-112``: scores rounded to 2dp, ranked
+    score-desc / lang-asc). The map is pivoted to rank-indexed scalar
+    columns so the value-hash gate covers both the ranking and the
+    scores without relying on array-cell hashing."""
+    from cc_net_spark.functions.scorers import lid_topk
+
+    docs = load(spark, sf_dir, "documents")
+    out = lid_topk(docs, "text", out_col="lid")
+    ks, vs = F.map_keys("lid"), F.map_values("lid")
+    return out.select(
+        "doc_id",
+        *[ks[i].alias(f"lang_{i + 1}") for i in range(5)],
+        *[vs[i].alias(f"score_{i + 1}") for i in range(5)],
+    )
+
+
+def _sql_lid_topk() -> str:
+    from cc_net_spark.functions.text import STOPWORDS
+
+    score_rows = ",\n      ".join(
+        "('{lang}', ARRAY[{words}])".format(
+            lang=lang, words=", ".join(f"'{w}'" for w in sw)
+        )
+        for lang, sw in STOPWORDS.items()
+    )
+    return f"""
+  WITH sw(lang, words) AS (VALUES
+      {score_rows}),
+  w AS (SELECT doc_id,
+               string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws
+        FROM documents),
+  s AS (
+    SELECT w.doc_id, sw.lang,
+           CAST(len(list_filter(w.ws, x -> list_contains(sw.words, x))) AS DOUBLE)
+             / len(w.ws) AS score
+    FROM w CROSS JOIN sw),
+  ranked AS (
+    SELECT doc_id, lang, round(score, 2) AS rscore,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang) AS rn
+    FROM s)
+  SELECT doc_id,
+         max(CASE WHEN rn = 1 THEN lang END) AS lang_1,
+         max(CASE WHEN rn = 2 THEN lang END) AS lang_2,
+         max(CASE WHEN rn = 3 THEN lang END) AS lang_3,
+         max(CASE WHEN rn = 4 THEN lang END) AS lang_4,
+         max(CASE WHEN rn = 5 THEN lang END) AS lang_5,
+         max(CASE WHEN rn = 1 THEN rscore END) AS score_1,
+         max(CASE WHEN rn = 2 THEN rscore END) AS score_2,
+         max(CASE WHEN rn = 3 THEN rscore END) AS score_3,
+         max(CASE WHEN rn = 4 THEN rscore END) AS score_4,
+         max(CASE WHEN rn = 5 THEN rscore END) AS score_5
+  FROM ranked GROUP BY doc_id
+"""
+
+
 def _sql_langid() -> str:
     from cc_net_spark.functions.text import STOPWORDS
 
@@ -581,6 +640,78 @@ SQL_LENGTH_BUCKETS = """
               WHEN n_chars <= c_tail THEN 'middle'
               ELSE 'tail' END AS bucket
   FROM documents, cuts
+"""
+
+
+def q_describe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`describe` label parity (``cc_net/jsonql.py:829-864``): top-100
+    value counts per string column, floor 5, values > 100 chars are not
+    labels, ratio = n / n_present — over every string column of
+    ``documents`` (lang, source, text; long texts exercise the length
+    gate)."""
+    from cc_net_spark.jsonql_cli import describe_labels
+
+    docs = load(spark, sf_dir, "documents")
+    return describe_labels(docs)
+
+
+SQL_DESCRIBE_LABELS = """
+  WITH pairs AS (
+    SELECT 'lang' AS "column", lang AS label FROM documents
+    UNION ALL SELECT 'source', source FROM documents
+    UNION ALL SELECT 'text', text FROM documents),
+  present AS (SELECT "column", count(*) AS np FROM pairs
+              WHERE label IS NOT NULL GROUP BY 1),
+  counted AS (SELECT "column", label, count(*) AS n FROM pairs
+              WHERE label IS NOT NULL AND length(label) <= 100 GROUP BY 1, 2),
+  ranked AS (SELECT *, row_number() OVER (PARTITION BY "column"
+                                          ORDER BY n DESC, label) AS rk
+             FROM counted)
+  SELECT r."column", r.label, CAST(r.n AS BIGINT) AS n,
+         round(CAST(r.n AS DOUBLE) / p.np, 6) AS ratio
+  FROM ranked r JOIN present p USING ("column")
+  WHERE r.rk <= 100 AND r.n >= 5
+"""
+
+
+def q_length_histogram_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`describe`'s weighted + cumulative histogram options
+    (``cc_net/jsonql.py:748-766,801-826``): np.histogram-compatible 10
+    uniform bins over n_chars, weighted by the doc's word count, running
+    cumulative sums — edges from the values alone, weights summed per
+    bin (the reference's exact two-step)."""
+    from cc_net_spark.jsonql_cli import histogram_df
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_words",
+        F.size(F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+"))
+        .cast("double"),
+    )
+    return histogram_df(
+        docs, "n_chars", bins=10, weight_col="_words", cumulative=True
+    )
+
+
+SQL_LENGTH_HISTOGRAM_WEIGHTED = r"""
+  WITH lohi AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+                       CAST(max(n_chars) AS DOUBLE) AS hi
+                FROM documents),
+  d AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+               CAST(len(string_split_regex(lower(trim(coalesce(text, ''))),
+                                           '\s+')) AS DOUBLE) AS w
+        FROM documents),
+  g AS (SELECT CAST(least(floor((v - lo) * 10 / (hi - lo)), 9) AS INT) AS bucket,
+               sum(w) AS wsum
+        FROM d, lohi GROUP BY 1),
+  b AS (SELECT CAST(t.i AS INT) AS bucket FROM unnest(range(10)) AS t(i)),
+  f AS (SELECT b.bucket,
+               round(lo + b.bucket * ((hi - lo) / 10), 6) AS bin_lo,
+               round(lo + (b.bucket + 1) * ((hi - lo) / 10), 6) AS bin_hi,
+               coalesce(g.wsum, 0) AS wsum
+        FROM b CROSS JOIN lohi LEFT JOIN g ON g.bucket = b.bucket)
+  SELECT bucket, bin_lo, bin_hi,
+         round(sum(wsum) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING), 6) AS n
+  FROM f
 """
 
 
@@ -1714,6 +1845,7 @@ def registry():
         "substring_pairs": q_substring_pairs,
         "ann_topk": q_ann_topk,
         "language_id": q_language_id,
+        "lid_topk": q_lid_topk,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -1723,6 +1855,8 @@ def registry():
         "stratified_sample": q_stratified_sample,
         "length_buckets": q_length_buckets,
         "length_histogram": q_length_histogram,
+        "length_histogram_weighted": q_length_histogram_weighted,
+        "describe_labels": q_describe_labels,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1761,6 +1895,7 @@ def registry():
         "substring_pairs": SQL_SUBSTRING_PAIRS,
         "ann_topk": SQL_ANN_TOPK,
         "language_id": _sql_langid(),
+        "lid_topk": _sql_lid_topk(),
         "quality_scores": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprints": SQL_FINGERPRINTS,
@@ -1770,6 +1905,8 @@ def registry():
         "stratified_sample": SQL_STRATIFIED,
         "length_buckets": SQL_LENGTH_BUCKETS,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
+        "length_histogram_weighted": SQL_LENGTH_HISTOGRAM_WEIGHTED,
+        "describe_labels": SQL_DESCRIBE_LABELS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "user_sessions": SQL_USER_SESSIONS,
         "lineitem_pricing": SQL_LINEITEM_PRICING,

@@ -129,10 +129,19 @@ class IncrementalNearDup:
         audio_threshold: float = 0.5,
         audio_max_hamming: int = 8,
         n_state_buckets: int = 64,
+        audio_exact_verify: bool = False,
+        audio_min_snr_db: float = 30.0,
+        clips_source: str | None = None,
     ):
         unknown = set(families) - set(FAMILIES)
         if unknown or not families:
             raise ValueError(f"families must be a non-empty subset of {FAMILIES}")
+        if audio_exact_verify and clips_source is None:
+            raise ValueError(
+                "audio_exact_verify needs clips_source (the corpus table "
+                "holding history clip bytes) — history audio is never "
+                "persisted in state"
+            )
         self.sigs_path = _join_path(state_path, "sigs")
         self.bands_path = _join_path(state_path, "bands")
         self.simbands_path = _join_path(state_path, "simbands")
@@ -154,6 +163,9 @@ class IncrementalNearDup:
         self.audio_threshold = audio_threshold
         self.audio_max_hamming = audio_max_hamming
         self.n_state_buckets = n_state_buckets
+        self.audio_exact_verify = audio_exact_verify
+        self.audio_min_snr_db = audio_min_snr_db
+        self.clips_source = clips_source
         self._meta_checked = False
 
     def _kb_expr(self, cols: list[str]):
@@ -335,6 +347,55 @@ class IncrementalNearDup:
         if hsig is None:
             return None
         return hsig.select(idc, F.col(col).alias("_v"), "_batch_id")
+
+    def _audio_snr_stage(
+        self,
+        spark: SparkSession,
+        audio_parts: list[DataFrame],
+        batch: DataFrame,
+        metric_rows: list[tuple],
+    ) -> DataFrame:
+        """The optional EXACT follow-up the class doc promises: a bounded
+        re-read of just the matched clips' bytes for a PCM-SNR verdict.
+        The state-only verdict (words-Jaccard + sketch-Hamming) stays the
+        hot path; this stage decodes ONLY candidate ids — batch clips
+        from the in-flight batch, history clips via an id-semijoin
+        against ``clips_source`` (pushdown-pruned; |pairs| is capped, so
+        the read is bounded regardless of corpus size). A planted sketch
+        collision (e.g. a rescaled copy of a different take: identical
+        occupancy words, identical signs, ~6 dB SNR) is rejected here;
+        rejections are metered, never silent."""
+        from cc_net_spark.multimodal.audio import pair_audio_invariants
+
+        idc = self.id_col
+        apairs = audio_parts[0]
+        for part in audio_parts[1:]:
+            apairs = apairs.unionByName(part)
+        apairs = apairs.localCheckpoint()
+
+        clip_cols = [F.col(idc).cast("string").alias(idc), "codec", "bytes"]
+        src = batch.select(*clip_cols)
+        hist_ids = apairs.filter(F.col("kind") == "audio_history").select(
+            F.col("id_b").alias(idc)
+        )
+        hist_clips = (
+            spark.read.parquet(self.clips_source)
+            .select(*clip_cols)
+            .join(hist_ids.distinct(), idc, "leftsemi")
+        )
+        src = src.unionByName(hist_clips).dropDuplicates([idc])
+        verdict = pair_audio_invariants(
+            apairs.select("id_a", "id_b"), src, idc,
+            min_snr_db=self.audio_min_snr_db,
+        ).localCheckpoint()
+        n_rejected = verdict.filter(~F.col("pcm_ok")).count()
+        if n_rejected:
+            metric_rows.append(("audio_snr_rejected", n_rejected, 0, 0))
+        return apairs.join(
+            verdict.filter(F.col("pcm_ok")).select("id_a", "id_b"),
+            ["id_a", "id_b"],
+            "leftsemi",
+        )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -531,6 +592,7 @@ class IncrementalNearDup:
                 F.col("words").alias("_wa"),
                 F.col("sketch").alias("_ska"),
             )
+            audio_parts: list[DataFrame] = []
             for cand, hist_side, kind in ((within, False, "audio_within"),
                                           (cross, True, "audio_history")):
                 if cand is None or (hist_side and hist_asig is None):
@@ -554,10 +616,15 @@ class IncrementalNearDup:
                         & (F.col("hamming") <= self.audio_max_hamming)
                     )
                 )
-                pair_parts.append(
+                audio_parts.append(
                     ok.select("id_a", "id_b", "jaccard_est", "hamming",
                               F.lit(kind).alias("kind"))
                 )
+            if audio_parts and self.audio_exact_verify:
+                audio_parts = [
+                    self._audio_snr_stage(spark, audio_parts, batch, metric_rows)
+                ]
+            pair_parts.extend(audio_parts)
 
         pairs = pair_parts[0]
         for part in pair_parts[1:]:

@@ -538,3 +538,84 @@ def test_mismatched_state_bucket_count_is_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="n_state_buckets"):
         bad.process_batch(_batch(spark, [("b0", BASE)]), 1)
+
+
+def test_audio_exact_verify_rejects_sketch_collision(spark, tmp_path):
+    """The optional exact PCM-SNR follow-up stage: a planted sketch
+    collision — a RESCALED different take (identical occupancy words,
+    identical sign sketch, ~6 dB SNR) — passes the state-only verdict
+    but is rejected by the bounded re-read stage; a true duplicate
+    (same signal + noise floor) survives it. Rejections are metered."""
+    import numpy as np
+
+    from cc_net_spark.multimodal.audio import wav_encode_pcm16
+
+    rng = np.random.default_rng(11)
+    t = np.arange(16384) / 16000.0
+    base = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    dup = (base + rng.uniform(-1e-4, 1e-4, len(base))).astype(np.float32)
+    scaled = (0.5 * base).astype(np.float32)  # words+sketch collide, SNR ~6 dB
+
+    schema = "clip_id string, codec string, bytes binary"
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(cid, "pcm_s16le", wav_encode_pcm16(p, 16000)) for cid, p in items],
+            schema,
+        )
+
+    corpus = tmp_path / "corpus"
+    rows([("a0", base)]).write.mode("overwrite").parquet(str(corpus))
+
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), families=("audio",),
+        audio_exact_verify=True, clips_source=str(corpus),
+    )
+    nd.process_batch(rows([("a0", base)]), 0)
+    nd.process_batch(rows([("b0", dup), ("b1", scaled)]), 1)
+
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert flags == {"b0": True, "b1": False}
+    pairs = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in spark.read.parquet(str(tmp_path / "out" / "pairs"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert ("b0", "a0", "audio_history") in pairs
+    assert not any("b1" in (a, b) for a, b, _ in pairs)
+    m = {
+        r["family"]: r["n_buckets"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "metrics"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert m.get("audio_snr_rejected", 0) >= 2  # b1-a0 history + b0-b1 within
+
+    # WITHOUT the stage the collision sails through — the stage is
+    # load-bearing, not decorative
+    nd2 = IncrementalNearDup(
+        str(tmp_path / "state2"), str(tmp_path / "out2"), families=("audio",)
+    )
+    nd2.process_batch(rows([("a0", base)]), 0)
+    nd2.process_batch(rows([("b0", dup), ("b1", scaled)]), 1)
+    flags2 = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out2" / "flags"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert flags2 == {"b0": True, "b1": True}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="clips_source"):
+        IncrementalNearDup(
+            str(tmp_path / "s3"), str(tmp_path / "o3"), families=("audio",),
+            audio_exact_verify=True,
+        )

@@ -161,3 +161,78 @@ def test_module_cli_neardup_end_to_end(spark, tmp_path):
     sigs = spark.read.parquet(str(tmp_path / "state_compacted" / "sigs"))
     assert sigs.count() == 3
     assert sigs.select("_batch_id").distinct().count() == 1
+
+
+def test_histogram_reference_vectors(spark):
+    """Ports the expectations of the reference's test_histogram
+    (``cc_net/tests/test_jsonql.py:52-62``): numpy-histogram bin edges
+    and counts, including the all-edges-inclusive rightmost bin."""
+    data = [0.1, 0.1, 0.1, 0.1, 0.4, 0.4, 0.9, 0.9]
+    df = spark.createDataFrame([(v,) for v in data], "pop double")
+    rows = cli.histogram_df(df, "pop", bins=8).orderBy("bucket").collect()
+    assert [r["n"] for r in rows] == [4, 0, 0, 2, 0, 0, 0, 2]
+    assert [round(r["bin_lo"], 6) for r in rows] == [
+        round(0.1 * x, 6) for x in range(1, 9)
+    ]
+    assert rows[-1]["bin_hi"] == 0.9
+
+    data2 = [0, 0.1, 0.1, 0.1, 0.1, 0.4, 0.4, 0.8, 0.8, 1]
+    df2 = spark.createDataFrame([(float(v),) for v in data2], "pop double")
+    rows2 = cli.histogram_df(df2, "pop", bins=10).orderBy("bucket").collect()
+    assert [r["n"] for r in rows2] == [1, 4, 0, 0, 2, 0, 0, 0, 2, 1]
+
+
+def test_histogram_weighted_and_cumulative(spark):
+    """display_stats' weighted + cumulative options
+    (``cc_net/jsonql.py:801-826``): edges from values alone, weights
+    summed per bin; cumulative running-sums (test_display_stats's
+    cumulative expectations: [4, 6, 8] at bins 0/3/7)."""
+    data = [0.1, 0.1, 0.1, 0.1, 0.4, 0.4, 0.9, 0.9]
+    df = spark.createDataFrame([(v, 2.0 * i) for i, v in enumerate(data)],
+                               "pop double, w double")
+    rows = cli.histogram_df(df, "pop", bins=8, weight_col="w").orderBy("bucket").collect()
+    # weights 0,2,4,6 | 8,10 | 12,14 summed into bins 0/3/7
+    assert [r["n"] for r in rows] == [12.0, 0, 0, 18.0, 0, 0, 0, 26.0]
+
+    cum = cli.histogram_df(df, "pop", bins=8, cumulative=True).orderBy("bucket").collect()
+    assert [r["n"] for r in cum] == [4, 4, 4, 6, 6, 6, 6, 8]
+
+
+def test_describe_labels(spark):
+    """display_stats' top-label output (``cc_net/jsonql.py:829-838``):
+    floor 5, long values are not labels, ratio = n / n_present."""
+    rows = (
+        [("en", "short")] * 6
+        + [("de", "short")] * 5
+        + [("fr", "short")] * 2          # below the floor of 5
+        + [(None, "short")] * 3          # nulls are absent fields
+        + [("en", "x" * 150)] * 2        # too long to be a label
+    )
+    df = spark.createDataFrame(rows, "lang string, note string")
+    got = {
+        (r["column"], r["label"]): (r["n"], r["ratio"])
+        for r in cli.describe_labels(df).collect()
+    }
+    assert got[("lang", "en")] == (8, round(8 / 15, 6))
+    assert got[("lang", "de")] == (5, round(5 / 15, 6))
+    assert ("lang", "fr") not in got          # floor
+    assert got[("note", "short")] == (16, round(16 / 18, 6))
+    assert not any(c == "note" and len(l) > 100 for c, l in got)  # long skipped
+
+    # top-N cutoff is deterministic: ties break label-asc
+    many = spark.createDataFrame(
+        [(f"l{i:03d}",) for i in range(30) for _ in range(5)], "lab string"
+    )
+    top10 = cli.describe_labels(many, top=10).collect()
+    assert sorted(r["label"] for r in top10) == [f"l{i:03d}" for i in range(10)]
+
+
+def test_cli_labels_and_histogram_verbs(spark, docs_jsonl):
+    df, _, _ = cli.run(spark, ["labels", "lang", "--file", docs_jsonl])
+    got = {r["label"]: r["n"] for r in df.collect()}
+    assert got == {"en": 10, "de": 20}
+    df2, _, _ = cli.run(
+        spark, ["histogram", "n_chars", "bins=5", "cumulative", "--file", docs_jsonl]
+    )
+    rows = df2.orderBy("bucket").collect()
+    assert [r["n"] for r in rows] == [6, 12, 18, 24, 30]  # cumulative

@@ -38,6 +38,18 @@ def test_mine_end_to_end(spark, tmp_path):
         assert r["bucket"] in ("head", "middle", "tail")
         assert r["perplexity"] >= 0.0
 
+    # reference parity: top-5 LID maps before AND after dedup
+    # (cc_net/mine.py:362-376, split_by_lang.py:52-112) — doc 1's raw
+    # text is stopword-heavy, the surviving line has fewer hits, so the
+    # two maps must differ; every map ranks en first for doc 1
+    for r in docs.values():
+        assert set(r["lid_before_dedup"]) == {"en", "de", "fr", "es", "it"}
+        assert len(r["lid_after_dedup"]) == 5
+    before1 = docs[1]["lid_before_dedup"]
+    after1 = docs[1]["lid_after_dedup"]
+    assert max(before1, key=before1.get) == "en"
+    assert before1["en"] > after1["en"] >= 0.0  # dedup changed the text
+
     meta = {r["doc_id"]: r for r in out["metadata"].collect()}
     assert set(meta) == set(docs)
     assert meta[1]["line_ids"] == [1]  # surviving paragraph was line 1

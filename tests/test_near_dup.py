@@ -265,6 +265,28 @@ def test_connected_components_chain_and_singletons(spark):
     assert assigned["c15"] == "c00"
 
 
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= runs the forced-distributed rounds with durable
+    parquet checkpoints (cluster-safe: survives executor loss, unlike
+    executor-local localCheckpoint blocks) — same assignments, and the
+    ping-pong round files really exist on disk."""
+    import os
+
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]
+    df = spark.createDataFrame(chain, "id_a string, id_b string")
+    ck = tmp_path / "cc_ckpt"
+    comp = connected_components(df, driver_threshold=0, checkpoint_dir=str(ck))
+    got = {r["id"]: r["cluster_id"] for r in comp.collect()}
+    exp = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got == exp and set(got.values()) == {"c00"}
+    rounds = sorted(os.listdir(ck))
+    assert rounds and all(r.startswith("round_") for r in rounds)
+    assert len(rounds) <= 2  # ping-pong keeps storage at ~2x one round
+
+
 def test_salted_candidate_pairs_full_recall_on_hot_bucket(spark):
     """Salting a hot bucket must produce the EXACT pair set of the
     uncapped self-join (no recall loss, unlike the cap), for every salt
