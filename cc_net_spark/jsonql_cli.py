@@ -41,15 +41,20 @@ def translate_expr(expr: str) -> str:
     SQL predicate: ``{lang}=="en" and {n_chars}>=100`` ->
     ``(`lang`) = ("en") AND (`n_chars`) >= (100)``.
 
-    Supported (the subset the reference's docs/tests use,
-    ``cc_net/jsonql.py:602-618``): field refs ``{name}`` (dots access
+    Supported (the clause forms the reference's docs/tests use,
+    ``cc_net/jsonql.py:600-618,624``): field refs ``{name}`` (dots access
     nested struct fields: ``{meta.score}`` becomes `` `meta`.`score` ``),
-    comparison operators, and/or/not, in, arithmetic. Python's
-    ``==``/``!=`` map to SQL ``=``/``<>`` — OUTSIDE string literals only
-    (a literal like ``"a==b"`` passes through untouched); and/or/not
-    pass through (valid SQL). Anything else is handed to Spark SQL
-    as-is — an invalid expression fails analysis loudly instead of
-    being eval'd."""
+    comparison operators, chained and/or/not, ``in``/``not in`` with
+    python list literals (``{lang} in ['en','de']`` -> ``IN ('en','de')``),
+    arithmetic, ``is [not] None`` -> ``IS [NOT] NULL``, python
+    ``True/False/None`` literals, ``len(...)`` -> ``length(...)`` (the
+    ``jsonql where 'len({text}) > 100'`` doc example), and the
+    ``--requires random`` sampling idiom ``random.random()`` ->
+    ``rand()``. Rewrites apply OUTSIDE string literals only (a literal
+    like ``"a==b"`` passes through untouched). Anything else is handed
+    to Spark SQL as-is — an invalid expression fails analysis loudly
+    instead of being eval'd; arbitrary ``--requires`` python imports
+    have no SQL analogue by design (declarative plans can't eval)."""
     import re
 
     def field_ref(m: re.Match) -> str:
@@ -58,10 +63,46 @@ def translate_expr(expr: str) -> str:
         return ".".join(f"`{p}`" for p in m.group(1).split("."))
 
     out = re.sub(r"\{([A-Za-z0-9_.]+)\}", field_ref, expr)
-    # rewrite ==/!= only OUTSIDE quoted string literals
+    # rewrite python-isms only OUTSIDE quoted string literals
     parts = re.split(r"(\"[^\"]*\"|'[^']*')", out)
     for i in range(0, len(parts), 2):  # even indices = outside literals
-        parts[i] = re.sub(r"(?<![<>!=])==", "=", parts[i]).replace("!=", "<>")
+        p = re.sub(r"(?<![<>!=])==", "=", parts[i]).replace("!=", "<>")
+        # null tests and literals (the compile_expr lambda sees python
+        # None/True/False; Spark SQL wants NULL/true/false)
+        p = re.sub(r"\bis\s+not\s+None\b", "IS NOT NULL", p)
+        p = re.sub(r"\bis\s+None\b", "IS NULL", p)
+        p = re.sub(r"\bNone\b", "NULL", p)
+        p = re.sub(r"\bTrue\b", "true", p)
+        p = re.sub(r"\bFalse\b", "false", p)
+        # the builtins the reference's docs actually use: len() (the
+        # `jsonql where 'len({text}) > 100'` doc example) and the
+        # --requires random-sampling idiom random.random()
+        p = re.sub(r"\blen\(", "length(", p)
+        p = re.sub(r"\brandom\.random\(\)", "rand()", p)
+        parts[i] = p
+    # python membership lists -> SQL IN lists. The list's string elements
+    # sit in the ODD (literal) parts, so the bracket pair spans parts: a
+    # tiny state machine opens at `in [` and closes at the next `]` in a
+    # NON-literal part — brackets inside string literals stay untouched.
+    in_list = False
+    for i in range(0, len(parts), 2):
+        p, done = parts[i], ""
+        while True:
+            if not in_list:
+                m = re.search(r"(?i)\b(not\s+in|in)\s*\[", p)
+                if not m:
+                    break
+                done += p[: m.start()] + m.group(1) + " ("
+                p = p[m.end():]
+                in_list = True
+            else:
+                j = p.find("]")
+                if j < 0:
+                    break
+                done += p[:j] + ")"
+                p = p[j + 1:]
+                in_list = False
+        parts[i] = done + p
     return "".join(parts)
 
 

@@ -715,6 +715,42 @@ SQL_LENGTH_HISTOGRAM_WEIGHTED = r"""
 """
 
 
+def q_fallback_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dmoz-style two-key fallback join
+    (``cc_net/tools/make_dmoz_corpus.py:63-93``): a tag lookup keyed at
+    two granularities — exact doc key (url analogue) with lang (domain
+    analogue) as the fallback; the exact hit wins when both match,
+    unmatched docs drop. Both probes broadcast (dim-table join — the
+    corpus side never shuffles)."""
+    from cc_net_spark.operators.joins import fallback_join
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("lang").alias("domain"),
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("url").alias("key"), F.lit("exact").alias("tags")
+    )
+    bylang = spark.createDataFrame(
+        [("en", "bylang"), ("de", "bylang")], "key string, tags string"
+    )
+    out = fallback_join(docs, exact.unionByName(bylang), primary="url", fallback="domain")
+    return out.select("doc_id", F.col("tags").alias("tag"))
+
+
+SQL_FALLBACK_TAGS = """
+  WITH l1 AS (SELECT CAST(doc_id AS VARCHAR) AS key, 'exact' AS tags
+              FROM documents WHERE doc_id % 7 = 0),
+  l2(key, tags) AS (VALUES ('en', 'bylang'), ('de', 'bylang')),
+  j AS (SELECT d.doc_id, coalesce(a.tags, b.tags) AS tag
+        FROM documents d
+        LEFT JOIN l1 a ON CAST(d.doc_id AS VARCHAR) = a.key
+        LEFT JOIN l2 b ON d.lang = b.key)
+  SELECT doc_id, tag FROM j WHERE tag IS NOT NULL
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width numeric histogram (jsonql `histogram`/`describe` parity,
     ``cc_net/jsonql.py:748-884``): 10 equal buckets over n_chars."""
@@ -1857,6 +1893,7 @@ def registry():
         "length_histogram": q_length_histogram,
         "length_histogram_weighted": q_length_histogram_weighted,
         "describe_labels": q_describe_labels,
+        "fallback_tags": q_fallback_tags,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1907,6 +1944,7 @@ def registry():
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "length_histogram_weighted": SQL_LENGTH_HISTOGRAM_WEIGHTED,
         "describe_labels": SQL_DESCRIBE_LABELS,
+        "fallback_tags": SQL_FALLBACK_TAGS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "user_sessions": SQL_USER_SESSIONS,
         "lineitem_pricing": SQL_LINEITEM_PRICING,

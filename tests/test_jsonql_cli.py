@@ -236,3 +236,39 @@ def test_cli_labels_and_histogram_verbs(spark, docs_jsonl):
     )
     rows = df2.orderBy("bucket").collect()
     assert [r["n"] for r in rows] == [6, 12, 18, 24, 30]  # cumulative
+
+
+def test_translate_expr_full_surface():
+    """The reference compile_expr clause forms (``cc_net/jsonql.py:
+    600-624``) transliterated: doc examples, membership lists, null
+    tests, python literals, len(), the --requires random idiom."""
+    t = cli.translate_expr
+    assert t("len({text}) > 100") == "length(`text`) > 100"  # doc example
+    assert t("{length} > 100") == "`length` > 100"
+    assert t("{lang}=='en'") == "`lang`='en'"
+    assert t("{lang} in ['en', 'de']") == "`lang` in ('en', 'de')"
+    assert t("{lang} not in ['en']") == "`lang` not in ('en')"
+    assert t("{title} is None") == "`title` IS NULL"
+    assert t("{title} is not None") == "`title` IS NOT NULL"
+    assert t("{flag} == True or {x} == None") == "`flag` = true or `x` = NULL"
+    assert t("random.random() < 0.5") == "rand() < 0.5"
+    # rewrites never reach into string literals
+    assert t("{t} == 'len(x) in [None]'") == "`t` = 'len(x) in [None]'"
+    # chained boolean ops pass through
+    got = t("{a} > 1 and {b} < 2 or not {c} == 3")
+    assert got == "`a` > 1 and `b` < 2 or not `c` = 3"
+
+
+def test_where_full_surface_executes(spark, docs_jsonl):
+    df, _, _ = cli.run(
+        spark,
+        ["where", "{lang} in ['en'] and len({text}) > 4 and {doc_id} is not None",
+         "--file", docs_jsonl],
+    )
+    rows = df.collect()
+    assert len(rows) == 10 and all(r["lang"] == "en" for r in rows)
+    # the random-sampling idiom parses and bounds correctly
+    sampled, _, _ = cli.run(
+        spark, ["where", "random.random() < 0.5", "--file", docs_jsonl]
+    )
+    assert 0 <= sampled.count() <= 30

@@ -158,3 +158,38 @@ def test_incremental_history_probe_prunes_partitions(spark, tmp_path):
     # the `< 2` comparison itself must sit INSIDE the partition filters —
     # isnotnull alone (predicate evaluated post-scan) must fail here
     assert re.search(r"_batch_id#?\d*\s*<\s*2", bracket), bracket
+
+
+def test_fallback_join_two_key_semantics(spark):
+    """dmoz two-key fallback (make_dmoz_corpus.py:63-93): exact key wins
+    over the fallback when both hit; fallback fills otherwise; unmatched
+    docs drop (or survive with null when keep_unmatched). The plan
+    broadcasts both probes — no corpus-side shuffle."""
+    from cc_net_spark.operators.joins import fallback_join
+
+    docs = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d1"), ("u3", "d2"), ("u4", "d3")],
+        "url string, domain string",
+    )
+    lookup = spark.createDataFrame(
+        [("u1", "t_exact"), ("d1", "t_dom1"), ("d2", "t_dom2")],
+        "key string, tags string",
+    )
+    got = {
+        r["url"]: r["tags"]
+        for r in fallback_join(docs, lookup, primary="url", fallback="domain").collect()
+    }
+    assert got == {"u1": "t_exact", "u2": "t_dom1", "u3": "t_dom2"}
+    kept = fallback_join(
+        docs, lookup, primary="url", fallback="domain", keep_unmatched=True
+    )
+    assert kept.count() == 4 and kept.filter("tags IS NULL").count() == 1
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fallback_join(docs, lookup, primary="url", fallback="domain").explain()
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2
