@@ -117,6 +117,45 @@ def membw_rate(procs: int, seconds: float = 3.0) -> float:
     return total
 
 
+def wait_for_window(
+    label: str,
+    *,
+    procs: int = 8,
+    min_spin: float = 1.8e8,
+    min_membw: float = 1.0e9,
+    attempts: int = 3,
+) -> dict:
+    """Probe-gate a timed section (round-3 verdict: the recorded bench
+    landed in a drained-bandwidth window — 213 MB/s vs 7.5 GB/s across
+    rounds, a 35x swing worth 2-6x on wall times — making round-over-
+    round comparisons weather reports). Measure deliverable CPU + memory
+    bandwidth; if the window is degraded, back off and retry. The LAST
+    probe values are recorded in the output either way, so a run that
+    never found a healthy window says so in the artifact instead of
+    silently publishing storm numbers. Spin threshold is ~70% of the
+    healthy measurement (spin(8) ~2.6e8 ops/s). The membw threshold only
+    catches true storms (the r3 artifact's 0.2e9 B/s class): calibration
+    found mid-range probe readings (1-2e9 B/s) co-occurring with fully
+    healthy query times — the probe is noisy below the storm floor, so a
+    strict threshold would spin forever in ordinary windows."""
+    probes: dict = {}
+    for attempt in range(1, attempts + 1):
+        spin = spin_rate(procs, 3.0)
+        membw = membw_rate(procs, 2.0)
+        probes = {
+            "label": label,
+            "procs": procs,
+            "spin_ops_per_sec": round(spin),
+            "membw_bytes_per_sec": round(membw),
+            "attempt": attempt,
+            "in_range": spin >= min_spin and membw >= min_membw,
+        }
+        if probes["in_range"] or attempt == attempts:
+            return probes
+        time.sleep(20.0 * attempt)
+    return probes
+
+
 def warm_workers(spark: SparkSession, cores: int) -> None:
     """Untimed warm-up: spin up the python UDF workers (one per core) and
     the shuffle machinery. The ~6-7 s one-time worker import cost is a
@@ -310,8 +349,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict = {}
 
+    extras["window_probes"] = [wait_for_window("pre_scaling")]
     if DO_SCALING:
         extras["scaling"] = run_scaling(tmp)
+        # the scaling block drains burst credits; re-gate before the
+        # timed headline section so its numbers come from a verified
+        # window (round-4 task: recorded numbers must not be weather)
+        extras["window_probes"].append(wait_for_window("pre_headline"))
 
     spark = make_spark(CPUS)
     try:

@@ -67,11 +67,23 @@ def _join_path(base: str, *parts: str) -> str:
     return "/".join([base.rstrip("/"), *parts])
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme (file/s3a/
+    hdfs/abfs) — metadata ops without Spark jobs or exception probing."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a parquet dir that may not exist yet. Works on any Hadoop
     filesystem (a local Path.exists() check would silently misreport on
     s3a/hdfs); an absent or empty dir reads as None instead of a
-    schema-inference crash."""
+    schema-inference crash. The FS existence precheck skips the
+    expensive first-AnalysisException path for missing tables."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
     try:
         return spark.read.parquet(path)
     except Exception as exc:  # AnalysisException; message-gated
@@ -193,7 +205,13 @@ class IncrementalNearDup:
         partition columns — the filter prunes directories, not rows)."""
         if not kbs:
             return None
-        hist = _read_optional(spark, path)
+        cache = getattr(self, "_read_cache", None)
+        if cache is not None and path in cache:
+            hist = cache[path]
+        else:
+            hist = _read_optional(spark, path)
+            if cache is not None:
+                cache[path] = hist
         if hist is None:
             return None
         return hist.filter(
@@ -209,23 +227,40 @@ class IncrementalNearDup:
 
     def _check_meta(self, spark: SparkSession) -> None:
         """``n_state_buckets`` is baked into the on-disk layout; probing
-        with a different value would silently miss matches. A one-row
-        meta table records it; checked once per handler lifetime."""
+        with a different value would silently miss matches. A tiny JSON
+        marker records it — written/read through the Hadoop FS API
+        directly (a 1-row Spark write costs a whole job; this is a
+        metadata op). Checked once per handler lifetime."""
         if self._meta_checked:
             return
-        meta = _read_optional(spark, self.meta_path)
-        if meta is None:
-            spark.createDataFrame(
-                [(self.n_state_buckets,)], "n_state_buckets int"
-            ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
-        else:
-            stored = meta.first()["n_state_buckets"]
+        import json as _json
+
+        fs, jpath = _hadoop_fs(spark, _join_path(self.meta_path, "meta.json"))
+        if fs.exists(jpath):
+            stream = fs.open(jpath)
+            try:
+                raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            stored = _json.loads(raw)["n_state_buckets"]
             if stored != self.n_state_buckets:
                 raise ValueError(
                     f"state at {self.meta_path} was written with "
                     f"n_state_buckets={stored}, handler configured with "
                     f"{self.n_state_buckets} — probes would miss buckets"
                 )
+        else:
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(
+                    _json.dumps(
+                        {"n_state_buckets": self.n_state_buckets}
+                    ).encode()
+                ))
+            finally:
+                out.close()
         self._meta_checked = True
 
     def _estimated(self, joined: DataFrame) -> DataFrame:
@@ -295,7 +330,10 @@ class IncrementalNearDup:
                 .select(F.col(idc).alias("id_a"), F.col("id_old").alias("id_b"))
                 .filter(F.col("id_a") != F.col("id_b"))
                 .distinct()
-                .localCheckpoint()
+                # lazy: materialized by the caller's first action (the
+                # bucket-id collect for the verification fetch), reused
+                # by the pairs DAG — one probe-join execution either way
+                .localCheckpoint(eager=False)
             )
         return within, cross, (int(n_buckets or 0), int(n_hot or 0), int(n_hot_rows or 0))
 
@@ -404,6 +442,11 @@ class IncrementalNearDup:
             # writing a 0-row batch would create an empty state dir
             return
         self._check_meta(spark)
+        # one file-listing/schema-inference per state table per batch:
+        # the raw reads are cached (history FILTERS on top stay per-use);
+        # state writes land after every read, so the cache never serves
+        # this batch's own appends
+        self._read_cache: dict[str, DataFrame | None] = {}
         # a malformed shard can repeat a clip_id within one batch; keep
         # one row per id so every downstream table (sigs state, flags,
         # rep-joined exact pairs) stays one-row-per-id
@@ -652,13 +695,17 @@ class IncrementalNearDup:
         # bucket — correct: every id must be checked — but a small late
         # shard touches only its own buckets).
         batch_ids = batch.select(F.col(idc).cast("string").alias(idc))
+        # the ids' buckets are collected from a CHECKPOINTED signature
+        # table (sig / asig_all), not by re-scanning the batch source
+        ids_src = sig if sig is not None else asig_all
+        batch_kbs = self._bucket_ids(ids_src.select(idc), [idc])
         redeliv_paths = []
         if need_text:
             redeliv_paths.append((self.sigs_path, None))
         if "audio" in self.families:
             redeliv_paths.append((self.audiosigs_path, F.col("decode_ok")))
         for path, extra in redeliv_paths:
-            h = self._hist_by_id(spark, path, batch_id, batch_ids, idc)
+            h = self._history(spark, path, batch_id, batch_kbs)
             if h is None:
                 continue
             if extra is not None:
@@ -693,6 +740,13 @@ class IncrementalNearDup:
             # correct "no probeable state" answer.
             (
                 df.withColumn("_kb", self._kb_expr(kb_cols))
+                # cluster rows by bucket before the partitioned write:
+                # without this every task writes into every _kb dir
+                # (tasks x buckets tiny files); with it each bucket dir
+                # gets ONE file. Fewer shuffle partitions than buckets
+                # is fine (a task owns several buckets, still one file
+                # each) and keeps small-batch task overhead flat.
+                .repartition(min(16, self.n_state_buckets), F.col("_kb"))
                 .write.mode("overwrite")
                 .partitionBy("_kb")
                 .parquet(_join_path(path, f"_batch_id={batch_id}"))
@@ -752,10 +806,11 @@ def compact_state(
         ("audiosigs", [id_col]),
         ("audiowords", [id_col, "word"]),
     )
-    meta = _read_optional(spark, _join_path(state_path, "meta"))
-    if meta is not None:
-        meta.coalesce(1).write.mode("overwrite").parquet(
-            _join_path(out_path, "meta")
+    fs, src = _hadoop_fs(spark, _join_path(state_path, "meta", "meta.json"))
+    if fs.exists(src):
+        dst_fs, dst = _hadoop_fs(spark, _join_path(out_path, "meta", "meta.json"))
+        spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, src, dst_fs, dst, False, spark._jsc.hadoopConfiguration()
         )
     for sub, keys in tables:
         df = _read_optional(spark, _join_path(state_path, sub))
