@@ -121,7 +121,7 @@ def wait_for_window(
     label: str,
     *,
     procs: int = 8,
-    min_spin: float = 1.8e8,
+    min_spin: float = 2.2e8,
     min_membw: float = 1.0e9,
     attempts: int = 3,
 ) -> dict:
@@ -132,12 +132,17 @@ def wait_for_window(
     bandwidth; if the window is degraded, back off and retry. The LAST
     probe values are recorded in the output either way, so a run that
     never found a healthy window says so in the artifact instead of
-    silently publishing storm numbers. Spin threshold is ~70% of the
-    healthy measurement (spin(8) ~2.6e8 ops/s). The membw threshold only
-    catches true storms (the r3 artifact's 0.2e9 B/s class): calibration
-    found mid-range probe readings (1-2e9 B/s) co-occurring with fully
-    healthy query times — the probe is noisy below the storm floor, so a
-    strict threshold would spin forever in ordinary windows."""
+    silently publishing storm numbers. Spin threshold is ~85% of the
+    healthy measurement (spin(8) ~2.6e8 ops/s): a credit-drained window
+    measured spin 2.0-2.3e8 alongside 10x query-time spikes
+    (BENCH_r04_local_degraded.json), while healthy windows read
+    2.4-2.6e8. The membw threshold only catches true storms (the r3
+    artifact's 0.2e9 B/s class): calibration found mid-range probe
+    readings (1-2e9 B/s) co-occurring with fully healthy query times —
+    the probe is noisy below the storm floor. Snapshot probes cannot
+    catch MID-RUN throttling; the interleaved best-of scaling legs are
+    the defense there, and the recorded probes let a reader judge the
+    window either way."""
     probes: dict = {}
     for attempt in range(1, attempts + 1):
         spin = spin_rate(procs, 3.0)

@@ -68,9 +68,14 @@ def translate_expr(expr: str) -> str:
     for i in range(0, len(parts), 2):  # even indices = outside literals
         p = re.sub(r"(?<![<>!=])==", "=", parts[i]).replace("!=", "<>")
         # null tests and literals (the compile_expr lambda sees python
-        # None/True/False; Spark SQL wants NULL/true/false)
+        # None/True/False; Spark SQL wants NULL/true/false). Equality
+        # with None must become IS [NOT] NULL: a literal `= NULL`
+        # evaluates to NULL for EVERY row — silently zero matches —
+        # whereas the reference's python `== None` matches nulls.
         p = re.sub(r"\bis\s+not\s+None\b", "IS NOT NULL", p)
         p = re.sub(r"\bis\s+None\b", "IS NULL", p)
+        p = re.sub(r"(?<![<>!=])\s*=\s*None\b", " IS NULL", p)
+        p = re.sub(r"\s*<>\s*None\b", " IS NOT NULL", p)
         p = re.sub(r"\bNone\b", "NULL", p)
         p = re.sub(r"\bTrue\b", "true", p)
         p = re.sub(r"\bFalse\b", "false", p)
@@ -194,10 +199,22 @@ def describe_labels(
     from pyspark.sql.types import StringType
     from pyspark.sql.window import Window
 
+    by_name = {f.name: f.dataType for f in df.schema}
+    if cols is not None:
+        # an explicitly requested column that is missing or non-string
+        # must fail loudly — silently profiling a subset would let a
+        # typo masquerade as "no labels found"
+        bad = [
+            c for c in cols
+            if not isinstance(by_name.get(c), StringType)
+        ]
+        if bad:
+            raise ValueError(
+                f"describe_labels: not string columns of the input: {bad}"
+            )
     str_cols = [
-        f.name
-        for f in df.schema
-        if isinstance(f.dataType, StringType) and (cols is None or f.name in cols)
+        n for n, t in by_name.items()
+        if isinstance(t, StringType) and (cols is None or n in cols)
     ]
     if not str_cols:
         raise ValueError("no string columns to count labels over")
@@ -256,6 +273,10 @@ def histogram_df(
     spark = df.sparkSession
     v = F.col(value_col).cast("double")
     lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    if lohi["lo"] is None:  # empty input or all-null column
+        return spark.createDataFrame(
+            [], "bucket int, bin_lo double, bin_hi double, n double"
+        )
     lo, hi = float(lohi["lo"]), float(lohi["hi"])
     if hi == lo:  # np.histogram's degenerate-range rule
         lo, hi = lo - 0.5, hi + 0.5

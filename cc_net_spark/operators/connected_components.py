@@ -159,6 +159,13 @@ def connected_components(
             path = pingpong[rnd % 2]
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
+
+        # size BEFORE the first durable write: a graph that falls under
+        # the driver threshold would otherwise pay a full write+re-read
+        # to object storage just to route to union-find
+        if driver_threshold and e.count() <= driver_threshold:
+            return _driver_union_find(e)
+        e = _cut(e, 0)
     else:
 
         def _cut(df: DataFrame, rnd: int) -> DataFrame:
@@ -167,9 +174,9 @@ def connected_components(
             # one scheduling round trip instead of two per step.
             return df.localCheckpoint(eager=False)
 
-    e = _cut(e, 0)
-    if driver_threshold and e.count() <= driver_threshold:
-        return _driver_union_find(e)
+        e = _cut(e, 0)
+        if driver_threshold and e.count() <= driver_threshold:
+            return _driver_union_find(e)
     prev = None
     for rnd in range(1, max_iterations + 1):
         e = _cut(_small_star(_large_star(e)), rnd)

@@ -120,7 +120,37 @@ def fingerprint_listing(parts: list[dict]) -> str:
 
 def fingerprint_external(path: str | Path) -> str:
     """Fingerprint an external input (file or directory) from its file
-    listing + sizes + mtimes — cheap stat() walk, no data reads."""
+    listing + sizes + mtimes — cheap stat() walk, no data reads.
+
+    Scheme URIs (s3a/hdfs/abfs) are listed through the Hadoop FS API of
+    the active SparkSession — a pathlib walk would report every remote
+    input as "missing", making its fingerprint CONSTANT and silently
+    skipping stages whose remote input changed."""
+    if "://" in str(path):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"fingerprint_external({path}): scheme-URI inputs need an "
+                "active SparkSession for Hadoop FS listing"
+            )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(str(path))
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return "missing"
+        parts = []
+        it = fs.listFiles(jpath, True)  # recursive
+        while it.hasNext():
+            st = it.next()
+            parts.append(
+                {"file": st.getPath().toString(), "bytes": st.getLen(),
+                 "mtime_ns": st.getModificationTime()}
+            )
+        blob = json.dumps(sorted(parts, key=lambda d: d["file"]),
+                          sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
     p = Path(path)
     if not p.exists():
         return "missing"

@@ -17,17 +17,23 @@ Round-2 redesign (VERDICT r1 "what's wrong" #4 + ADVICE idempotency):
   iff its hash occurs >= 2 times within batch k, or appears in any
   earlier batch (keep-first across shards — the same semantics the
   round-1 merge produced, since earlier outputs are never revisited),
-* idempotent under foreachBatch at-least-once replay: both the hashes
-  partition and the output partition for a batch are written with
-  DYNAMIC partition overwrite keyed by ``_batch_id`` — re-processing a
-  failed batch overwrites its own partitions and, because the history
-  probe only looks at ``_batch_id < current``, a half-written previous
-  attempt can neither double-count into ``is_dup`` nor duplicate output
-  rows (round 1 re-merged the batch into the table and then dropped the
-  whole batch as "all duplicates"),
+* idempotent under foreachBatch at-least-once replay: the hashes
+  partition for a batch is written straight into its own
+  ``_batch_id=N`` dir (static overwrite truncates exactly that dir on
+  replay) and, because the history probe only looks at
+  ``_batch_id < current``, a half-written previous attempt can neither
+  double-count into ``is_dup`` nor duplicate output rows,
+* round-4: like the near-dup state, the hashes table carries a second
+  hive level ``_kb = pmod(hash, n_state_buckets)`` and the history
+  probe reads ONLY the buckets the batch's hashes fall into —
+  partition pruning bounds per-batch history IO by the batch's hash
+  spread instead of full-scanning all persisted state (the win is
+  small/late shards and compacted steady state; a batch whose hashes
+  span every bucket must read every bucket),
 * ``compact_hashes`` optionally rewrites history into one row per hash
   (min batch id) — the bounded-growth maintenance job, the analogue of
-  the reference's ``merge`` (``cc_net/dedup.py:92-124``).
+  the reference's ``merge`` (``cc_net/dedup.py:92-124``). The bucketed
+  layout is preserved so probes against compacted state prune too.
 
 ``Trigger.AvailableNow`` makes the same code a resumable batch job —
 checkpointing (source offsets + the partitioned tables) means a killed
@@ -38,12 +44,14 @@ catalog the two writes become MERGE INTO / snapshot commits.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cc_net_spark.operators import exact_dedup as ed
+from cc_net_spark.streaming.incremental_neardup import (
+    _join_path,
+    _read_optional,
+)
 
 
 class IncrementalDeduper:
@@ -55,32 +63,50 @@ class IncrementalDeduper:
         output_path: str,
         field: str = "text",
         id_col: str = "doc_id",
+        *,
+        n_state_buckets: int = 64,
     ):
         self.hashes_path = hashes_path
         self.output_path = output_path
         self.field = field
         self.id_col = id_col
+        self.n_state_buckets = n_state_buckets
 
-    def _history(self, spark: SparkSession, before_batch: int) -> DataFrame | None:
-        if not Path(self.hashes_path).exists():
+    def _kb(self):
+        # the paragraph hash is already a uniform u64 — bucket on it
+        # directly (pmod handles the negative half of the signed range)
+        return F.pmod(F.col("hash"), F.lit(self.n_state_buckets)).cast("int")
+
+    def _history(
+        self, spark: SparkSession, before_batch: int, kbs: list[int]
+    ) -> DataFrame | None:
+        hist = _read_optional(spark, self.hashes_path)
+        if hist is None or not kbs:
             return None
-        hist = spark.read.parquet(self.hashes_path)
         # replay safety: a half-written attempt of the CURRENT batch (or a
-        # later one, after manual rewind) must not count as history
-        return hist.filter(F.col("_batch_id") < before_batch)
+        # later one, after manual rewind) must not count as history; the
+        # _kb IN-list prunes bucket dirs the batch cannot match
+        return hist.filter(
+            (F.col("_batch_id") < before_batch) & F.col("_kb").isin(kbs)
+        )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         paras = ed.paragraph_hashes(batch, self.field, self.id_col).filter(
             F.col("hash") != 0
         )
-        # distinct hashes of this batch + within-batch dup flag
-        batch_hashes = paras.groupBy("hash").agg(
-            (F.count(F.lit(1)) >= 2).alias("dup_within")
+        # distinct hashes of this batch + within-batch dup flag + bucket
+        batch_hashes = (
+            paras.groupBy("hash")
+            .agg((F.count(F.lit(1)) >= 2).alias("dup_within"))
+            .withColumn("_kb", self._kb())
         )
 
         batch_hashes = batch_hashes.localCheckpoint()
-        history = self._history(spark, batch_id)
+        kbs = sorted(
+            r["_kb"] for r in batch_hashes.select("_kb").distinct().collect()
+        )
+        history = self._history(spark, batch_id, kbs)
         if history is not None:
             seen_before = history.select("hash").distinct()
             flagged = batch_hashes.join(
@@ -97,46 +123,49 @@ class IncrementalDeduper:
             )
         flagged = flagged.localCheckpoint()
 
-        # 1) append THIS batch's hashes only (dynamic overwrite of its own
-        #    partition => replay-safe, write volume ∝ batch). The stored
-        #    dup_within is the batch-LOCAL flag — the history-aware is_dup
-        #    is derived at probe time, never persisted (a cross-batch dup
-        #    must not masquerade as a within-batch one for compaction or
-        #    any other consumer of the table)
+        # 1) append THIS batch's hashes only, straight into its own
+        #    _batch_id dir (static overwrite truncates exactly that dir
+        #    on replay => replay-safe, write volume ∝ batch), bucketed
+        #    by _kb so history probes prune. The stored dup_within is
+        #    the batch-LOCAL flag — the history-aware is_dup is derived
+        #    at probe time, never persisted (a cross-batch dup must not
+        #    masquerade as a within-batch one for compaction or any
+        #    other consumer of the table)
         (
             batch_hashes
-            .withColumn("_batch_id", F.lit(batch_id))
+            .repartition(min(16, self.n_state_buckets), F.col("_kb"))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(self.hashes_path)
+            .partitionBy("_kb")
+            .parquet(_join_path(self.hashes_path, f"_batch_id={batch_id}"))
         )
 
         # 2) probe: drop every copy of any flagged hash, keep-first within
         #    doc, reassemble (cc_net/dedup.py:371-432 semantics)
         deduped = ed.remove_duplicates(
             batch, flagged, self.field, self.id_col
-        ).withColumn("_batch_id", F.lit(batch_id))
+        )
         (
             deduped.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(self.output_path)
+            .parquet(_join_path(self.output_path, f"_batch_id={batch_id}"))
         )
 
 
 def compact_hashes(spark: SparkSession, hashes_path: str, out_path: str) -> None:
     """Maintenance: collapse the append-only history to one row per hash
     (is_dup = seen >= 2 times overall, first _batch_id kept) — the
-    streaming analogue of the reference's hash-file merge."""
+    streaming analogue of the reference's hash-file merge. The ``_kb``
+    bucket layout is preserved (hash determines bucket, so the group
+    never spans buckets) and probes against compacted state still
+    prune."""
     hist = spark.read.parquet(hashes_path)
     (
-        hist.groupBy("hash")
+        hist.groupBy("hash", "_kb")
         .agg(
             ((F.count(F.lit(1)) >= 2) | F.max("dup_within")).alias("is_dup"),
             F.min("_batch_id").alias("first_batch"),
         )
         .write.mode("overwrite")
+        .partitionBy("_kb")
         .parquet(out_path)
     )
 

@@ -402,7 +402,12 @@ class IncrementalNearDup:
         the read is bounded regardless of corpus size). A planted sketch
         collision (e.g. a rescaled copy of a different take: identical
         occupancy words, identical signs, ~6 dB SNR) is rejected here;
-        rejections are metered, never silent."""
+        rejections are metered, never silent. A pair whose clip bytes
+        are MISSING from ``clips_source`` (corpus lag, compaction) is
+        UNVERIFIABLE, not rejected: the state verdict stands (fail
+        open — this stage refines precision when bytes are available,
+        it must not turn a stale corpus into silent recall loss) and
+        the count lands in metrics as ``audio_snr_unverifiable``."""
         from cc_net_spark.multimodal.audio import pair_audio_invariants
 
         idc = self.id_col
@@ -429,11 +434,20 @@ class IncrementalNearDup:
         n_rejected = verdict.filter(~F.col("pcm_ok")).count()
         if n_rejected:
             metric_rows.append(("audio_snr_rejected", n_rejected, 0, 0))
-        return apairs.join(
+        # pair_audio_invariants inner-joins on both clip sides: a pair
+        # with no verdict row had missing bytes — fail open + meter
+        unverifiable = apairs.join(
+            verdict.select("id_a", "id_b"), ["id_a", "id_b"], "leftanti"
+        ).localCheckpoint()
+        n_unver = unverifiable.count()
+        if n_unver:
+            metric_rows.append(("audio_snr_unverifiable", n_unver, 0, 0))
+        passed = apairs.join(
             verdict.filter(F.col("pcm_ok")).select("id_a", "id_b"),
             ["id_a", "id_b"],
             "leftsemi",
         )
+        return passed.unionByName(unverifiable)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

@@ -57,20 +57,40 @@ def incremental_substring_pass(
     Returns the StageRunner manifests; stages skipped via unchanged
     fingerprints carry ``skipped: True``. Detection guarantee: shared
     runs of length >= ``length + winnow_window - 1`` (the winnowing
-    contract); ``min_length`` defaults to exactly that."""
-    corpus_root = Path(corpus_root)
-    shards = sorted(
-        p.name
-        for p in corpus_root.iterdir()
-        if p.is_dir() and not p.name.startswith("_")
-    )
+    contract); ``min_length`` defaults to exactly that.
+
+    ``corpus_root`` may be a scheme URI (s3a/hdfs/abfs) — shard listing
+    and the external fingerprints go through the Hadoop FS API (pathlib
+    would mangle the scheme and report remote shards missing); the
+    StageRunner ``workdir`` stays a local/driver-visible path."""
+    root = str(corpus_root)
+    if "://" in root:
+        from cc_net_spark.streaming.incremental_neardup import _hadoop_fs
+
+        fs, jpath = _hadoop_fs(spark, root)
+        shards = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory() and not st.getPath().getName().startswith("_")
+        )
+        def shard_path(name: str) -> str:
+            return f"{root.rstrip('/')}/{name}"
+    else:
+        corpus_root = Path(corpus_root)
+        shards = sorted(
+            p.name
+            for p in corpus_root.iterdir()
+            if p.is_dir() and not p.name.startswith("_")
+        )
+        def shard_path(name: str) -> str:
+            return str(corpus_root / name)
     if not shards:
         raise ValueError(f"no shard directories under {corpus_root}")
     runner = StageRunner(spark, workdir, use_snapshots=use_snapshots)
 
     stages: list[Stage] = []
     for s in shards:
-        path = str(corpus_root / s)
+        path = shard_path(s)
 
         def build_grams(spark: SparkSession, _p: str = path) -> DataFrame:
             return doc_window_grams(
@@ -110,7 +130,7 @@ def incremental_substring_pass(
             spark: SparkSession, substring_pairs: DataFrame
         ) -> DataFrame:
             corpus = spark.read.option("recursiveFileLookup", "true").parquet(
-                str(corpus_root)
+                root
             )
             return verify_overlap_length(
                 substring_pairs,

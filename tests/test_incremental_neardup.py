@@ -619,3 +619,48 @@ def test_audio_exact_verify_rejects_sketch_collision(spark, tmp_path):
             str(tmp_path / "s3"), str(tmp_path / "o3"), families=("audio",),
             audio_exact_verify=True,
         )
+
+
+def test_audio_snr_stage_missing_bytes_fail_open(spark, tmp_path):
+    """A history pair whose clip bytes are absent from clips_source
+    (corpus lag / compaction) is UNVERIFIABLE: the state verdict stands
+    (fail open) and the count is metered as audio_snr_unverifiable —
+    never a silent drop."""
+    import numpy as np
+
+    from cc_net_spark.multimodal.audio import wav_encode_pcm16
+
+    t = np.arange(16384) / 16000.0
+    base = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    schema = "clip_id string, codec string, bytes binary"
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(cid, "pcm_s16le", wav_encode_pcm16(p, 16000)) for cid, p in items],
+            schema,
+        )
+
+    corpus = tmp_path / "corpus"  # corpus LACKS a0 (history clip)
+    rows([("zz", base)]).write.mode("overwrite").parquet(str(corpus))
+
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), families=("audio",),
+        audio_exact_verify=True, clips_source=str(corpus),
+    )
+    nd.process_batch(rows([("a0", base)]), 0)
+    nd.process_batch(rows([("b0", base)]), 1)
+
+    pairs = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in spark.read.parquet(str(tmp_path / "out" / "pairs"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert ("b0", "a0", "audio_history") in pairs  # kept, not dropped
+    m = {
+        r["family"]: r["n_buckets"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "metrics"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert m.get("audio_snr_unverifiable") == 1

@@ -268,3 +268,43 @@ def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
     assert snapshot() == first
     hashes = spark.read.parquet(str(tmp_path / "hashes"))
     assert hashes.count() == 6  # 4 + 2, no growth on replay
+
+
+def test_incremental_dedup_history_probe_prunes_buckets(spark, tmp_path):
+    """Round-4 layout parity with the near-dup state: the hashes table
+    is hive-partitioned (_batch_id, _kb) and the history probe's plan
+    prunes on BOTH levels — per-batch history IO is bounded by the
+    batch's hash spread, not the corpus."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from cc_net_spark.streaming.incremental import IncrementalDeduper
+
+    dedup = IncrementalDeduper(
+        str(tmp_path / "hashes"), str(tmp_path / "out"), n_state_buckets=32
+    )
+    docs0 = spark.createDataFrame(
+        [(i, f"para {i} alpha\npara {i} beta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    dedup.process_batch(docs0, 0)
+    b0 = tmp_path / "hashes" / "_batch_id=0"
+    assert any(d.startswith("_kb=") for d in os.listdir(b0))
+
+    pruned = dedup._history(spark, 1, kbs=[0, 1])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "_kb" in pf[0] and "_batch_id" in pf[0], plan
+
+    # and the cross-batch dedup still works through the pruned probe
+    dup = spark.createDataFrame(
+        [(100, "para 7 alpha\nfresh line here")], "doc_id long, text string"
+    )
+    dedup.process_batch(dup, 1)
+    out = spark.read.parquet(str(tmp_path / "out")).filter("_batch_id = 1")
+    texts = [r["text"] for r in out.collect()]
+    assert texts == ["fresh line here"]  # the repeated paragraph dropped

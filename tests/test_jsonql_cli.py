@@ -250,7 +250,10 @@ def test_translate_expr_full_surface():
     assert t("{lang} not in ['en']") == "`lang` not in ('en')"
     assert t("{title} is None") == "`title` IS NULL"
     assert t("{title} is not None") == "`title` IS NOT NULL"
-    assert t("{flag} == True or {x} == None") == "`flag` = true or `x` = NULL"
+    # equality with None is a NULL TEST, not `= NULL` (which would
+    # silently match zero rows)
+    assert t("{flag} == True or {x} == None") == "`flag` = true or `x` IS NULL"
+    assert t("{x} != None") == "`x` IS NOT NULL"
     assert t("random.random() < 0.5") == "rand() < 0.5"
     # rewrites never reach into string literals
     assert t("{t} == 'len(x) in [None]'") == "`t` = 'len(x) in [None]'"

@@ -150,14 +150,16 @@ def test_incremental_history_probe_prunes_partitions(spark, tmp_path):
         )
     import re
 
-    hist = nd._history(spark, nd.bands_path, 2)
+    hist = nd._history(spark, nd.bands_path, 2, kbs=[0, 1, 2])
     plan = plan_of(hist)
     assert "PartitionFilters" in plan
     bracket = plan.split("PartitionFilters", 1)[1]
     bracket = bracket[: bracket.index("]")]
     # the `< 2` comparison itself must sit INSIDE the partition filters —
-    # isnotnull alone (predicate evaluated post-scan) must fail here
+    # isnotnull alone (predicate evaluated post-scan) must fail here —
+    # and since round 4 the key-bucket IN-list prunes there too
     assert re.search(r"_batch_id#?\d*\s*<\s*2", bracket), bracket
+    assert "_kb" in bracket, bracket
 
 
 def test_fallback_join_two_key_semantics(spark):
@@ -184,6 +186,18 @@ def test_fallback_join_two_key_semantics(spark):
         docs, lookup, primary="url", fallback="domain", keep_unmatched=True
     )
     assert kept.count() == 4 and kept.filter("tags IS NULL").count() == 1
+
+    # dict parity (review findings): a matched key with a NULL value
+    # still counts as matched, and duplicate lookup keys must not fan
+    # out doc rows (deduped deterministically)
+    lookup2 = spark.createDataFrame(
+        [("u1", None), ("d2", "dom"), ("d2", "dom_dup")],
+        "key string, tags string",
+    )
+    got2 = fallback_join(docs, lookup2, primary="url", fallback="domain")
+    rows2 = {r["url"]: r["tags"] for r in got2.collect()}
+    assert rows2 == {"u1": None, "u3": "dom"}  # u1 matched-with-null kept
+    assert got2.count() == 2  # d2 duplicated in lookup -> still one row
 
     import io
     from contextlib import redirect_stdout
