@@ -336,6 +336,37 @@ SQL_SUBSTRING_PAIRS = """
 """
 
 
+def q_incremental_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL substring pass (batch-over-snapshots,
+    ``streaming/incremental_substring.py``): documents sharded into two
+    arriving shards, per-shard gram stages + the bucket-join pair stage
+    run through the fingerprinted StageRunner. With winnowing off the
+    result must equal the one-shot batch pass — the oracle is the same
+    raw-substring SQL re-derivation as ``substring_pairs``, proving
+    incrementality costs no recall."""
+    import shutil as _sh
+
+    from cc_net_spark.streaming.incremental_substring import (
+        incremental_substring_pass,
+    )
+
+    base = f"{ORACLE_EXPORT}/incsub"
+    _sh.rmtree(base, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = f"{base}/corpus"
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{corpus}/shard0")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{corpus}/shard1")
+    incremental_substring_pass(
+        spark, f"{base}/work", corpus,
+        text_col="text", id_col="doc_id",
+        length=30, winnow_window=1, gram_cap=1_000_000, verify=False,
+    )
+    pairs = spark.read.parquet(f"{base}/work/substring_pairs")
+    a = F.col("id_a").cast("long")
+    b = F.col("id_b").cast("long")
+    return pairs.select(F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 10 vectors."""
     from cc_net_spark.operators import ann
@@ -1894,6 +1925,7 @@ def registry():
         "length_histogram_weighted": q_length_histogram_weighted,
         "describe_labels": q_describe_labels,
         "fallback_tags": q_fallback_tags,
+        "incremental_substring_pairs": q_incremental_substring_pairs,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1945,6 +1977,7 @@ def registry():
         "length_histogram_weighted": SQL_LENGTH_HISTOGRAM_WEIGHTED,
         "describe_labels": SQL_DESCRIBE_LABELS,
         "fallback_tags": SQL_FALLBACK_TAGS,
+        "incremental_substring_pairs": SQL_SUBSTRING_PAIRS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "user_sessions": SQL_USER_SESSIONS,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
