@@ -32,6 +32,7 @@ import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _JSON_EXTS = (".jsonl", ".json", ".jsonl.gz", ".json.gz")
 
@@ -197,7 +198,6 @@ def describe_labels(
     column (the percentage ``display_stats`` prints). Ties at the top-N
     cutoff break deterministically by label asc."""
     from pyspark.sql.types import StringType
-    from pyspark.sql.window import Window
 
     by_name = {f.name: f.dataType for f in df.schema}
     if cols is not None:
@@ -305,8 +305,6 @@ def histogram_df(
         )
     )
     if cumulative:
-        from pyspark.sql.window import Window
-
         cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
         full = full.withColumn("n", F.sum("n").over(cw))
     return full.withColumn("n", F.round("n", 6))

@@ -129,15 +129,15 @@ def fingerprint_external(path: str | Path) -> str:
     if "://" in str(path):
         from pyspark.sql import SparkSession
 
+        from cc_net_spark.sources.hadoop_fs import hadoop_fs
+
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError(
                 f"fingerprint_external({path}): scheme-URI inputs need an "
                 "active SparkSession for Hadoop FS listing"
             )
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(str(path))
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, jpath = hadoop_fs(spark, str(path))
         if not fs.exists(jpath):
             return "missing"
         parts = []

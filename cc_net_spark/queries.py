@@ -344,14 +344,12 @@ def q_incremental_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     result must equal the one-shot batch pass — the oracle is the same
     raw-substring SQL re-derivation as ``substring_pairs``, proving
     incrementality costs no recall."""
-    import shutil as _sh
-
     from cc_net_spark.streaming.incremental_substring import (
         incremental_substring_pass,
     )
 
     base = f"{ORACLE_EXPORT}/incsub"
-    _sh.rmtree(base, ignore_errors=True)
+    _shutil.rmtree(base, ignore_errors=True)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = f"{base}/corpus"
     docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{corpus}/shard0")

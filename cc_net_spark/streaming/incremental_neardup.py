@@ -56,6 +56,11 @@ from pyspark.sql.window import Window
 from cc_net_spark.operators.minhash import lsh_bands
 from cc_net_spark.operators.pairs import candidate_pairs
 from cc_net_spark.operators.signatures import fused_signatures
+from cc_net_spark.sources.hadoop_fs import (
+    hadoop_fs as _hadoop_fs,
+    read_small_text,
+    write_small_text,
+)
 
 FAMILIES = ("minhash", "simhash", "exact", "audio")
 
@@ -65,14 +70,6 @@ def _join_path(base: str, *parts: str) -> str:
     's3a:/b'), and this state lives on whatever filesystem the cluster
     uses (s3a/hdfs/abfs), not necessarily a POSIX mount."""
     return "/".join([base.rstrip("/"), *parts])
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for any Hadoop-supported scheme (file/s3a/
-    hdfs/abfs) — metadata ops without Spark jobs or exception probing."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
 def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
@@ -179,6 +176,10 @@ class IncrementalNearDup:
         self.audio_min_snr_db = audio_min_snr_db
         self.clips_source = clips_source
         self._meta_checked = False
+        # one file-listing/schema-inference per state table per batch;
+        # cleared at the top of process_batch so a batch never sees its
+        # own appends (or a stale "absent" from before they existed)
+        self._read_cache: dict[str, DataFrame | None] = {}
 
     def _kb_expr(self, cols: list[str]):
         """The state-bucket of a key: stable hash of the key columns mod
@@ -205,13 +206,9 @@ class IncrementalNearDup:
         partition columns — the filter prunes directories, not rows)."""
         if not kbs:
             return None
-        cache = getattr(self, "_read_cache", None)
-        if cache is not None and path in cache:
-            hist = cache[path]
-        else:
-            hist = _read_optional(spark, path)
-            if cache is not None:
-                cache[path] = hist
+        if path not in self._read_cache:
+            self._read_cache[path] = _read_optional(spark, path)
+        hist = self._read_cache[path]
         if hist is None:
             return None
         return hist.filter(
@@ -235,15 +232,9 @@ class IncrementalNearDup:
             return
         import json as _json
 
-        fs, jpath = _hadoop_fs(spark, _join_path(self.meta_path, "meta.json"))
-        if fs.exists(jpath):
-            stream = fs.open(jpath)
-            try:
-                raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                    stream, "UTF-8"
-                )
-            finally:
-                stream.close()
+        marker = _join_path(self.meta_path, "meta.json")
+        raw = read_small_text(spark, marker)
+        if raw is not None:
             stored = _json.loads(raw)["n_state_buckets"]
             if stored != self.n_state_buckets:
                 raise ValueError(
@@ -252,15 +243,10 @@ class IncrementalNearDup:
                     f"{self.n_state_buckets} — probes would miss buckets"
                 )
         else:
-            out = fs.create(jpath, True)
-            try:
-                out.write(bytearray(
-                    _json.dumps(
-                        {"n_state_buckets": self.n_state_buckets}
-                    ).encode()
-                ))
-            finally:
-                out.close()
+            write_small_text(
+                spark, marker,
+                _json.dumps({"n_state_buckets": self.n_state_buckets}),
+            )
         self._meta_checked = True
 
     def _estimated(self, joined: DataFrame) -> DataFrame:
@@ -293,9 +279,10 @@ class IncrementalNearDup:
         spread, never the corpus. Sizes count DISTINCT (bucket, id) rows,
         matching candidate_pairs' own sizing. The bucket-id set rides the
         same single action as the drop metrics. Returns (within,
-        cross|None, (n_buckets, n_hot, n_hot_rows)); ``cross`` is
-        checkpointed — callers collect its id buckets for the
-        verification fetch without re-running the probe join."""
+        cross|None, (n_buckets, n_hot, n_hot_rows)); ``cross`` carries a
+        lazy checkpoint — the caller's first action (the bucket-id
+        collect for the verification fetch) materializes it once and the
+        pairs DAG reuses it instead of re-running the probe join."""
         idc = self.id_col
         within = candidate_pairs(new_rows, keys, idc, bucket_cap=self.bucket_cap)
         bsz = (
@@ -456,11 +443,7 @@ class IncrementalNearDup:
             # writing a 0-row batch would create an empty state dir
             return
         self._check_meta(spark)
-        # one file-listing/schema-inference per state table per batch:
-        # the raw reads are cached (history FILTERS on top stay per-use);
-        # state writes land after every read, so the cache never serves
-        # this batch's own appends
-        self._read_cache: dict[str, DataFrame | None] = {}
+        self._read_cache.clear()
         # a malformed shard can repeat a clip_id within one batch; keep
         # one row per id so every downstream table (sigs state, flags,
         # rep-joined exact pairs) stays one-row-per-id

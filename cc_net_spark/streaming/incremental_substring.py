@@ -65,9 +65,9 @@ def incremental_substring_pass(
     StageRunner ``workdir`` stays a local/driver-visible path."""
     root = str(corpus_root)
     if "://" in root:
-        from cc_net_spark.streaming.incremental_neardup import _hadoop_fs
+        from cc_net_spark.sources.hadoop_fs import hadoop_fs
 
-        fs, jpath = _hadoop_fs(spark, root)
+        fs, jpath = hadoop_fs(spark, root)
         shards = sorted(
             st.getPath().getName()
             for st in fs.listStatus(jpath)
