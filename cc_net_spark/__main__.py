@@ -77,6 +77,16 @@ def _neardup(argv: list[str]) -> None:
                    help="audio family: min word-set Jaccard")
     p.add_argument("--audio-max-hamming", type=int, default=8,
                    help="audio family: max waveform-sketch Hamming")
+    p.add_argument("--state-buckets", type=int, default=64,
+                   help="key-hash buckets of the state layout (pinned "
+                        "into the state dir on first use; probes prune "
+                        "on them)")
+    p.add_argument("--audio-exact-verify", action="store_true",
+                   help="bounded PCM-SNR re-read of matched clips "
+                        "(needs --clips-source)")
+    p.add_argument("--clips-source", default=None,
+                   help="corpus table holding history clip bytes for "
+                        "--audio-exact-verify")
     p.add_argument("--compact-upto", type=int, default=None, metavar="N",
                    help="compact state batches < N into one partition "
                         "(writes <state>_compacted)")
@@ -108,6 +118,9 @@ def _neardup(argv: list[str]) -> None:
         families=tuple(a.families.split(",")),
         audio_threshold=a.audio_threshold,
         audio_max_hamming=a.audio_max_hamming,
+        n_state_buckets=a.state_buckets,
+        audio_exact_verify=a.audio_exact_verify,
+        clips_source=a.clips_source,
     )
     print(f"neardup: processed available shards; outputs under {a.output} "
           f"(pairs/, flags/, metrics/), state under {a.state}")
