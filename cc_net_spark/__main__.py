@@ -90,6 +90,10 @@ def _neardup(argv: list[str]) -> None:
     p.add_argument("--compact-upto", type=int, default=None, metavar="N",
                    help="compact state batches < N into one partition "
                         "(writes <state>_compacted)")
+    p.add_argument("--compact-min-batches", type=int, default=None,
+                   metavar="K",
+                   help="after the trigger drains, auto-compact + swap "
+                        "the state once it holds >= K batch partitions")
     a = p.parse_args(argv)
 
     # validate BEFORE paying JVM/session startup
@@ -113,6 +117,7 @@ def _neardup(argv: list[str]) -> None:
 
     run_incremental_near_dup(
         spark, a.input, a.schema, a.state, a.output, a.checkpoint,
+        compact_min_batches=a.compact_min_batches,
         text_col=a.text_col, id_col=a.id_col,
         threshold=a.threshold, bucket_cap=a.bucket_cap,
         families=tuple(a.families.split(",")),

@@ -835,6 +835,57 @@ def compact_state(
         )
 
 
+def maybe_compact_state(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    upto_batch: int,
+    min_batches: int = 8,
+    id_col: str = "clip_id",
+) -> bool:
+    """Compact the state IF it has accumulated >= ``min_batches`` batch
+    partitions, then atomically swap the compacted tree in (the
+    operational wrapper around ``compact_state`` — small-file growth is
+    otherwise unbounded under a long-running stream).
+
+    Swap protocol: compact out-of-place to ``<state>_compacting``, rename
+    the live tree to ``<state>_precompact``, rename the compacted tree to
+    ``<state>``, delete the old tree. ``FileSystem.rename`` is atomic on
+    HDFS/POSIX; on S3-class stores it is copy+delete — run this only
+    while the stream is stopped (``Trigger.AvailableNow`` between
+    invocations), which is also required for correctness of
+    ``upto_batch``. Returns True iff a compaction happened."""
+    fs, sigs_dir = _hadoop_fs(spark, _join_path(state_path, "sigs"))
+    probe_dir = sigs_dir
+    if not fs.exists(probe_dir):  # payload-only stream: no text state
+        _, probe_dir = _hadoop_fs(spark, _join_path(state_path, "audiosigs"))
+        if not fs.exists(probe_dir):
+            return False
+    n_batches = sum(
+        1
+        for st in fs.listStatus(probe_dir)
+        if st.isDirectory() and st.getPath().getName().startswith("_batch_id=")
+    )
+    if n_batches < min_batches:
+        return False
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = state_path.rstrip("/") + "_compacting"
+    old = state_path.rstrip("/") + "_precompact"
+    for stale in (tmp, old):  # a crashed previous attempt
+        _, p = _hadoop_fs(spark, stale)
+        if fs.exists(p):
+            fs.delete(p, True)
+    compact_state(spark, state_path, tmp, upto_batch=upto_batch, id_col=id_col)
+    if not fs.rename(jvm_path(state_path), jvm_path(old)):
+        raise RuntimeError(f"compaction swap: rename {state_path} -> {old} failed")
+    if not fs.rename(jvm_path(tmp), jvm_path(state_path)):
+        # roll back so the live state survives
+        fs.rename(jvm_path(old), jvm_path(state_path))
+        raise RuntimeError(f"compaction swap: rename {tmp} -> {state_path} failed")
+    fs.delete(jvm_path(old), True)
+    return True
+
+
 def run_incremental_near_dup(
     spark: SparkSession,
     input_path: str,
@@ -842,10 +893,16 @@ def run_incremental_near_dup(
     state_path: str,
     output_path: str,
     checkpoint_path: str,
+    compact_min_batches: int | None = None,
     **kwargs,
 ):
     """Structured Streaming file-source wrapper, AvailableNow trigger —
-    same resumable-batch shape as ``run_incremental_dedup``."""
+    same resumable-batch shape as ``run_incremental_dedup``.
+
+    ``compact_min_batches``: after the trigger drains (stream stopped),
+    auto-compact the state once it holds that many batch partitions —
+    ``upto_batch`` is the just-committed next batch id, which is exactly
+    the enforced-safety contract of ``compact_state``."""
     handler = IncrementalNearDup(state_path, output_path, **kwargs)
     stream = (
         spark.readStream.schema(schema)
@@ -859,4 +916,14 @@ def run_incremental_near_dup(
         .start()
     )
     q.awaitTermination()
+    if compact_min_batches is not None:
+        progress = q.lastProgress
+        if progress is not None:
+            maybe_compact_state(
+                spark,
+                state_path,
+                upto_batch=int(progress["batchId"]) + 1,
+                min_batches=compact_min_batches,
+                id_col=handler.id_col,
+            )
     return q

@@ -664,3 +664,75 @@ def test_audio_snr_stage_missing_bytes_fail_open(spark, tmp_path):
         .collect()
     }
     assert m.get("audio_snr_unverifiable") == 1
+
+
+def test_maybe_compact_state_thresholds_and_swap(spark, tmp_path):
+    """Operational compaction: below the batch threshold nothing
+    happens; above it the state is compacted out-of-place and atomically
+    swapped in — later probes read the compacted tree and find the same
+    dups (n_state_buckets marker survives the swap)."""
+    from cc_net_spark.streaming.incremental_neardup import (
+        maybe_compact_state,
+    )
+
+    state = str(tmp_path / "state")
+    nd = IncrementalNearDup(state, str(tmp_path / "out"))
+    for b, (cid, txt) in enumerate(
+        [("a0", BASE), ("a1", OTHER), ("a2", THIRD)]
+    ):
+        nd.process_batch(_batch(spark, [(cid, txt)]), b)
+
+    assert not maybe_compact_state(
+        spark, state, upto_batch=3, min_batches=5
+    )  # below threshold: untouched
+    assert maybe_compact_state(spark, state, upto_batch=3, min_batches=3)
+    sigs = spark.read.parquet(f"{state}/sigs")
+    assert sigs.count() == 3
+    assert [r["_batch_id"] for r in sigs.select("_batch_id").distinct().collect()] == [2]
+    import os
+    assert not os.path.exists(state + "_compacting")
+    assert not os.path.exists(state + "_precompact")
+
+    # the SAME handler keeps working against the swapped state
+    nd.process_batch(_batch(spark, [("b0", BASE)]), 5)
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 5)
+        .collect()
+    }
+    assert flags == {"b0": True}
+
+
+def test_streaming_wrapper_auto_compacts(spark, tmp_path):
+    """compact_min_batches on the streaming wrapper: after the
+    AvailableNow trigger drains, the state is compacted when enough
+    batch partitions accumulated."""
+    import json as _json
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i, txt in enumerate([BASE, OTHER, THIRD]):
+        (inp / f"s{i}.json").write_text(
+            _json.dumps({"clip_id": f"a{i}", "transcript": txt})
+        )
+    args = (
+        spark, str(inp), "clip_id string, transcript string",
+        str(tmp_path / "state"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    # maxFilesPerTrigger=4 and 3 files -> ONE batch; run thrice with new
+    # files to accumulate batches
+    run_incremental_near_dup(*args, compact_min_batches=2)
+    (inp / "s3.json").write_text(
+        _json.dumps({"clip_id": "b0", "transcript": BASE})
+    )
+    run_incremental_near_dup(*args, compact_min_batches=2)
+    sigs = spark.read.parquet(str(tmp_path / "state" / "sigs"))
+    # two batches accumulated -> compacted into ONE partition
+    assert sigs.select("_batch_id").distinct().count() == 1
+    assert sigs.count() == 4
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags")).collect()
+    }
+    assert flags == {"a0": False, "a1": False, "a2": False, "b0": True}
