@@ -275,3 +275,66 @@ def test_where_full_surface_executes(spark, docs_jsonl):
         spark, ["where", "random.random() < 0.5", "--file", docs_jsonl]
     )
     assert 0 <= sampled.count() <= 30
+
+
+# ---------------------------------------------------------------------------
+# property tests: the {field} translation must never corrupt string
+# literals and must always consume python-isms outside them
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_lit_text = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="'\"\\\n\r"
+    ),
+    max_size=12,
+)
+_field = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+
+
+@st.composite
+def _clauses(draw):
+    kind = draw(st.sampled_from(["cmp", "inlist", "null", "len"]))
+    f = draw(_field)
+    if kind == "cmp":
+        op = draw(st.sampled_from(["==", "!=", ">", "<=", ">=", "<"]))
+        lit = draw(_lit_text)
+        return f"{{{f}}} {op} '{lit}'", [lit]
+    if kind == "inlist":
+        lits = draw(st.lists(_lit_text, min_size=1, max_size=3))
+        neg = draw(st.booleans())
+        arr = ", ".join(f"'{x}'" for x in lits)
+        return f"{{{f}}} {'not in' if neg else 'in'} [{arr}]", lits
+    if kind == "null":
+        neg = draw(st.booleans())
+        return f"{{{f}}} {'is not' if neg else 'is'} None", []
+    return f"len({{{f}}}) > {draw(st.integers(0, 999))}", []
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_clauses(), min_size=1, max_size=4), st.data())
+def test_translate_expr_properties(clauses, data):
+    parts, all_lits = zip(*clauses)
+    joiners = [
+        data.draw(st.sampled_from([" and ", " or "]))
+        for _ in range(len(parts) - 1)
+    ]
+    expr = parts[0]
+    for j, p in zip(joiners, parts[1:]):
+        expr += j + p
+    out = cli.translate_expr(expr)
+    # every string literal survives verbatim
+    for lit in (x for lits in all_lits for x in lits):
+        assert f"'{lit}'" in out
+    # all python-isms consumed outside literals
+    import re as _re
+
+    stripped = _re.sub(r"'[^']*'", "", out)
+    assert "[" not in stripped and "]" not in stripped
+    assert "==" not in stripped and "!=" not in stripped
+    assert "None" not in stripped
+    assert not _re.search(r"\blen\(", stripped)
+    # every field reference is backtick-quoted
+    assert "{" not in stripped and "}" not in stripped
