@@ -81,6 +81,11 @@ class NearDupConfig:
     # of agreeing minhashes, +-~1/sqrt(num_perm)) instead of the exact
     # shingle-set Jaccard. Same candidates, ~5x smaller signature table.
     keep_shingles: bool = True
+    # durable CC checkpointing (cluster runs): per-round parquet under
+    # this dir instead of executor-local blocks (SURVEY §7.1 step 5 —
+    # a lost executor must not force recomputing a truncated lineage).
+    # None keeps the single-box localCheckpoint default.
+    cc_checkpoint_dir: str | None = None
 
 
 def build_stages(
@@ -198,7 +203,9 @@ def build_stages(
             if mpath.exists():
                 edge_count = _json.loads(mpath.read_text())["rows"]
         comp = connected_components(
-            edges.select("id_a", "id_b").distinct(), edge_count=edge_count
+            edges.select("id_a", "id_b").distinct(),
+            edge_count=edge_count,
+            checkpoint_dir=cfg.cc_checkpoint_dir,
         )
         ids = load_clips(spark).select(idc)
         return assign_clusters(ids, comp, idc)

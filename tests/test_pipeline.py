@@ -186,3 +186,25 @@ def test_stage_invalidation_on_upstream_change(spark, tmp_path):
     # lineage + metrics tables exist and cover the stages
     assert {r["stage"] for r in runner.lineage().collect()} == {"a", "b"}
     assert runner.metrics().count() == 2
+
+
+def test_pipeline_cc_checkpoint_dir(spark, tmp_path):
+    """NearDupConfig(cc_checkpoint_dir=...) threads the durable-CC
+    option through the flagship DAG; clusters match the default path."""
+    from cc_net_spark.plans.pipeline import NearDupConfig, run_near_dup_pipeline
+    from cc_net_spark.sources import synth
+
+    clips_path = str(tmp_path / "clips.parquet")
+    synth.generate_clips(spark, 24, seed=3, with_audio=False).write.parquet(
+        clips_path
+    )
+    base, _ = run_near_dup_pipeline(
+        spark, clips_path, str(tmp_path / "w1"), NearDupConfig()
+    )
+    durable, _ = run_near_dup_pipeline(
+        spark, clips_path, str(tmp_path / "w2"),
+        NearDupConfig(cc_checkpoint_dir=str(tmp_path / "cc_ckpt")),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, durable.collect())
+    )
