@@ -63,11 +63,14 @@ def translate_expr(expr: str) -> str:
         # the nested struct field, not a top-level column named "meta.score"
         return ".".join(f"`{p}`" for p in m.group(1).split("."))
 
-    out = re.sub(r"\{([A-Za-z0-9_.]+)\}", field_ref, expr)
-    # rewrite python-isms only OUTSIDE quoted string literals
-    parts = re.split(r"(\"[^\"]*\"|'[^']*')", out)
+    # ALL rewrites — including {field} refs — apply only OUTSIDE quoted
+    # string literals: a literal like '{0}' or "a==b" passes through
+    # untouched (the reference's compile_expr f-string shows the same
+    # behavior only for the expression text, never inside its literals)
+    parts = re.split(r"(\"[^\"]*\"|'[^']*')", expr)
     for i in range(0, len(parts), 2):  # even indices = outside literals
-        p = re.sub(r"(?<![<>!=])==", "=", parts[i]).replace("!=", "<>")
+        p = re.sub(r"\{([A-Za-z0-9_.]+)\}", field_ref, parts[i])
+        p = re.sub(r"(?<![<>!=])==", "=", p).replace("!=", "<>")
         # null tests and literals (the compile_expr lambda sees python
         # None/True/False; Spark SQL wants NULL/true/false). Equality
         # with None must become IS [NOT] NULL: a literal `= NULL`

@@ -151,6 +151,7 @@ class IncrementalNearDup:
                 "holding history clip bytes) — history audio is never "
                 "persisted in state"
             )
+        self.state_path = state_path
         self.sigs_path = _join_path(state_path, "sigs")
         self.bands_path = _join_path(state_path, "bands")
         self.simbands_path = _join_path(state_path, "simbands")
@@ -232,6 +233,11 @@ class IncrementalNearDup:
             return
         import json as _json
 
+        # a compaction swap that crashed mid-window leaves the live state
+        # tree missing with the original parked at _precompact — heal it
+        # BEFORE the meta probe (which would otherwise see "fresh state"
+        # and silently restart dedup history from empty)
+        recover_state_swap(spark, self.state_path)
         marker = _join_path(self.meta_path, "meta.json")
         raw = read_small_text(spark, marker)
         if raw is not None:
@@ -835,6 +841,37 @@ def compact_state(
         )
 
 
+def recover_state_swap(spark: SparkSession, state_path: str) -> bool:
+    """Heal a compaction swap that crashed mid-window. The swap is two
+    renames (live -> ``_precompact``, ``_compacting`` -> live); a crash
+    between them leaves NO live tree — a naive restart would then see
+    "no state", silently rebuild from empty, and lose all dedup recall.
+    Recovery: if the live tree is missing but ``_precompact`` exists,
+    delete the (possibly incomplete) ``_compacting`` tree and rename the
+    original back; if BOTH live and ``_precompact`` exist (crash after
+    the second rename, before the cleanup delete), the live tree is the
+    complete compacted one — just drop the leftover. Returns True iff it
+    changed anything. Called automatically by ``maybe_compact_state``
+    and on the first ``process_batch`` of a handler lifetime."""
+    fs, live = _hadoop_fs(spark, state_path)
+    _, old = _hadoop_fs(spark, state_path.rstrip("/") + "_precompact")
+    _, tmp = _hadoop_fs(spark, state_path.rstrip("/") + "_compacting")
+    if fs.exists(live):
+        if fs.exists(old):
+            fs.delete(old, True)
+            return True
+        return False
+    if not fs.exists(old):
+        return False
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    if not fs.rename(old, live):
+        raise RuntimeError(
+            f"swap recovery: rename {state_path}_precompact -> {state_path} failed"
+        )
+    return True
+
+
 def maybe_compact_state(
     spark: SparkSession,
     state_path: str,
@@ -855,6 +892,7 @@ def maybe_compact_state(
     while the stream is stopped (``Trigger.AvailableNow`` between
     invocations), which is also required for correctness of
     ``upto_batch``. Returns True iff a compaction happened."""
+    recover_state_swap(spark, state_path)
     fs, sigs_dir = _hadoop_fs(spark, _join_path(state_path, "sigs"))
     probe_dir = sigs_dir
     if not fs.exists(probe_dir):  # payload-only stream: no text state

@@ -736,3 +736,52 @@ def test_streaming_wrapper_auto_compacts(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out" / "flags")).collect()
     }
     assert flags == {"a0": False, "a1": False, "a2": False, "b0": True}
+
+
+def test_swap_crash_recovery_restores_live_state(spark, tmp_path):
+    """A compaction swap that crashes between its two renames leaves NO
+    live state tree (original parked at _precompact, half-written tree
+    at _compacting). A fresh handler must heal the swap before probing —
+    otherwise it would silently restart dedup history from empty."""
+    import shutil
+
+    from cc_net_spark.streaming.incremental_neardup import recover_state_swap
+
+    state = str(tmp_path / "state")
+    nd = IncrementalNearDup(state, str(tmp_path / "out"))
+    nd.process_batch(_batch(spark, [("a0", BASE)]), 0)
+    nd.process_batch(_batch(spark, [("a1", OTHER)]), 1)
+
+    # simulate the crash window: live tree renamed away, compacted tree
+    # incomplete (just a fragment dir)
+    shutil.move(state, state + "_precompact")
+    (tmp_path / "state_compacting" / "sigs").mkdir(parents=True)
+
+    healed = recover_state_swap(spark, state)
+    assert healed
+    import os
+
+    assert os.path.exists(f"{state}/sigs")
+    assert not os.path.exists(state + "_compacting")
+    assert not os.path.exists(state + "_precompact")
+
+    # a NEW handler (fresh lifetime) heals implicitly and still sees the
+    # restored history: b0 matches a0 across the recovered state
+    shutil.move(state, state + "_precompact")
+    nd2 = IncrementalNearDup(state, str(tmp_path / "out"))
+    nd2.process_batch(_batch(spark, [("b0", BASE)]), 2)
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 2)
+        .collect()
+    }
+    assert flags == {"b0": True}
+
+    # crash AFTER the second rename (live tree is the complete compacted
+    # one, _precompact is a leftover): recovery just drops the leftover
+    shutil.copytree(state, state + "_precompact")
+    assert recover_state_swap(spark, state)
+    assert os.path.exists(f"{state}/sigs")
+    assert not os.path.exists(state + "_precompact")
+    assert not recover_state_swap(spark, state)  # idempotent no-op
