@@ -79,12 +79,54 @@ def resize_images(
     )
 
 
+def byte_checksums(
+    df: DataFrame, id_col: str = "img_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(id, byte_sum, weighted_sum): exact integer checksums of a binary
+    payload — byte_sum = Σ b[i], weighted_sum = Σ b[i]·(i+1) (the weight
+    makes the checksum sensitive to byte ORDER, so a permuted payload
+    can't pass). Pure integer arithmetic: re-derivable bit-identically
+    by a SQL oracle decoding the same bytes, which is what makes a
+    transform like ``resize_images`` differentially verifiable
+    end-to-end (payloads themselves can't ride the driver's value-hash
+    compare). Vectorized numpy over Arrow batches."""
+    src = df.select(id_col, bytes_col)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bs, ws = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[bytes_col]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                ids.append(i)
+                bs.append(int(arr.sum()))
+                ws.append(int((arr * (np.arange(arr.size) + 1)).sum()))
+            yield pd.DataFrame(
+                {id_col: ids,
+                 "byte_sum": pd.Series(bs, dtype="int64"),
+                 "weighted_sum": pd.Series(ws, dtype="int64")}
+            )
+
+    return src.mapInPandas(
+        compute, schema=f"{id_col} string, byte_sum long, weighted_sum long"
+    )
+
+
 def image_features(images: DataFrame, id_col: str = "img_id") -> DataFrame:
     """(id, mean_r, mean_g, mean_b, luma_hist array<double>[8]) — batch
-    UDF, numpy only; stub codecs yield nulls (plumbing exercised)."""
+    UDF, numpy only; stub codecs yield nulls (plumbing exercised).
+
+    The luma histogram bins an INTEGER milli-weight luma
+    (299·R + 587·G + 114·B, range [0, 255000], 8 equal bins) with pure
+    integer arithmetic — bin assignment is therefore exact and
+    FP-edge-stable: a float 0.299R+0.587G+0.114B differs between
+    engines in the last ulp, which flips bins for values landing on a
+    bin edge (observed in practice), whereas the integer form is
+    re-derivable bit-identically in any engine (the differential SQL
+    oracle recomputes it from the raw bytes)."""
     src = images.select(id_col, "bytes", "width", "height", "codec")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w_milli = np.array([299, 587, 114], dtype=np.int64)
         for pdf in batches:
             ids, mr, mg, mb, hist = [], [], [], [], []
             for r in pdf.itertuples(index=False):
@@ -94,13 +136,15 @@ def image_features(images: DataFrame, id_col: str = "img_id") -> DataFrame:
                 except NotImplementedError:
                     mr.append(None), mg.append(None), mb.append(None), hist.append(None)
                     continue
-                means = img.reshape(-1, 3).mean(axis=0)
+                flat = img.reshape(-1, 3).astype(np.int64)
+                means = flat.mean(axis=0)
                 mr.append(round(float(means[0]), 6))
                 mg.append(round(float(means[1]), 6))
                 mb.append(round(float(means[2]), 6))
-                luma = img @ np.array([0.299, 0.587, 0.114])
-                h, _ = np.histogram(luma, bins=8, range=(0, 256))
-                hist.append((h / max(1, luma.size)).round(6).tolist())
+                li = flat @ w_milli  # integer luma·1000 per pixel
+                bins = np.minimum(li * 8 // 256000, 7)
+                h = np.bincount(bins, minlength=8)
+                hist.append((h / max(1, li.size)).round(6).tolist())
             yield pd.DataFrame(
                 {id_col: ids, "mean_r": mr, "mean_g": mg, "mean_b": mb, "luma_hist": hist}
             )

@@ -43,15 +43,23 @@ def decode_video(
 def frame_sample(
     videos: DataFrame, id_col: str = "vid_id", *, every: int = 4
 ) -> DataFrame:
-    """(id, frame_idx, mean_luma): keep every k-th frame with its mean
-    luminance — the video frame-sampling primitive (one row per sampled
-    frame; batch UDF, numpy only). Stub codecs yield no rows."""
+    """(id, frame_idx, mean_luma, luma_milli_sum): keep every k-th frame
+    with its mean luminance — the video frame-sampling primitive (one row
+    per sampled frame; batch UDF, numpy only). Stub codecs yield no rows.
+
+    ``luma_milli_sum`` is the EXACT integer sum of the frame's
+    milli-weight luma (299·R + 587·G + 114·B per pixel, BIGINT) — the
+    FP-free frame fingerprint a differential oracle can re-derive
+    bit-identically from the raw bytes (a float mean wobbles in the 6th
+    decimal between engines from summation order alone);
+    ``mean_luma`` = luma_milli_sum / (1000·pixels) is the float
+    convenience view."""
     src = videos.select(id_col, "bytes", "width", "height", "n_frames", "codec")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w_luma = np.array([0.299, 0.587, 0.114])
+        w_milli = np.array([299, 587, 114], dtype=np.int64)
         for pdf in batches:
-            ids, idxs, lumas = [], [], []
+            ids, idxs, lumas, sums = [], [], [], []
             for r in pdf.itertuples(index=False):
                 try:
                     vid = decode_video(
@@ -60,14 +68,22 @@ def frame_sample(
                 except NotImplementedError:
                     continue
                 sel = np.arange(0, len(vid), every)
-                vals = (vid[sel].astype(np.float64) @ w_luma).mean(axis=(1, 2))
+                li = (vid[sel].astype(np.int64) @ w_milli).sum(axis=(1, 2))
+                npx = vid.shape[1] * vid.shape[2]
+                vals = li / (1000.0 * npx)
                 ids.extend([getattr(r, id_col)] * len(sel))
                 idxs.extend(sel.tolist())
                 lumas.extend(np.round(vals, 6).tolist())
-            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "mean_luma": lumas})
+                sums.extend(li.tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "mean_luma": lumas,
+                 "luma_milli_sum": pd.Series(sums, dtype="int64")}
+            )
 
     return src.mapInPandas(
-        compute, schema=f"{id_col} string, frame_idx long, mean_luma double"
+        compute,
+        schema=f"{id_col} string, frame_idx long, mean_luma double,"
+               " luma_milli_sum long",
     )
 
 

@@ -1545,6 +1545,147 @@ SQL_VIDEO_NEAR_DUP = """
 """
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode + feature extraction (mean RGB + 8-bin integer
+    milli-luma histogram, ``multimodal/image.py``) with a TRUE
+    differential oracle: DuckDB re-decodes the exported rgb8 blobs byte
+    by byte in SQL and recomputes every feature. The gate columns are
+    exact integers reconstructed from the operator's rounded floats
+    (mean·npx and ratio·npx land within 5e-4 of the true integer, so
+    ``round`` recovers it exactly — no float ever reaches the driver's
+    value hash). jpeg stub rows surface as nulls on both sides (the
+    skip-path is part of the contract)."""
+    from cc_net_spark.multimodal.image import generate_images, image_features
+
+    generate_images(spark, 96, seed=42).write.mode("overwrite").parquet(
+        f"{ORACLE_EXPORT}/feature_images"
+    )
+    images = spark.read.parquet(f"{ORACLE_EXPORT}/feature_images")
+    out = image_features(images, "img_id").join(
+        images.select("img_id", (F.col("width") * F.col("height")).alias("_npx")),
+        "img_id",
+    )
+    cols = [
+        F.round(F.col(f"mean_{c}") * F.col("_npx")).cast("long").alias(f"sum_{c}")
+        for c in ("r", "g", "b")
+    ] + [
+        F.round(F.col("luma_hist").getItem(k) * F.col("_npx"))
+        .cast("long")
+        .alias(f"h{k}")
+        for k in range(8)
+    ]
+    return out.select("img_id", *cols)
+
+
+def _sql_image_features() -> str:
+    hcols = ",\n".join(
+        f"         CAST(sum(CASE WHEN bin = {k} THEN 1 ELSE 0 END) AS BIGINT) AS h{k}"
+        for k in range(8)
+    )
+    nulls = ", ".join(
+        f"CAST(NULL AS BIGINT) AS {c}"
+        for c in ("sum_r", "sum_g", "sum_b", *[f"h{k}" for k in range(8)])
+    )
+    return f"""
+  WITH src AS (SELECT img_id, codec, hex(bytes) AS hx, width*height AS npx
+               FROM read_parquet('{ORACLE_EXPORT}/feature_images/*.parquet')),
+  px AS (
+    SELECT img_id,
+      CAST('0x' || substr(hx, CAST(t.i*6 + 1 AS BIGINT), 2) AS BIGINT) AS r,
+      CAST('0x' || substr(hx, CAST(t.i*6 + 3 AS BIGINT), 2) AS BIGINT) AS g,
+      CAST('0x' || substr(hx, CAST(t.i*6 + 5 AS BIGINT), 2) AS BIGINT) AS b
+    FROM src, unnest(range(npx)) AS t(i) WHERE codec = 'rgb8_raw'),
+  lum AS (SELECT img_id, r, g, b,
+                 least((299*r + 587*g + 114*b) * 8 // 256000, 7) AS bin
+          FROM px),
+  agg AS (
+    SELECT img_id, CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b,
+{hcols}
+    FROM lum GROUP BY img_id)
+  SELECT * FROM agg
+  UNION ALL
+  SELECT img_id, {nulls} FROM src WHERE codec <> 'rgb8_raw'
+"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize verified END-TO-END: the operator
+    decodes, resizes to 8x7 and re-encodes the payload; the gate emits
+    exact integer checksums of the RESIZED bytes (order-weighted, so a
+    permuted payload fails), and the oracle re-derives each resized byte
+    in SQL directly from the ORIGINAL blobs via the same integer index
+    math (src pixel (oy·h//7, ox·w//8)) — a true differential test of
+    the whole decode->resize->encode path. Stub rows yield no row on
+    either side."""
+    from cc_net_spark.multimodal.image import (
+        byte_checksums,
+        generate_images,
+        resize_images,
+    )
+
+    generate_images(spark, 96, seed=42).write.mode("overwrite").parquet(
+        f"{ORACLE_EXPORT}/resize_images"
+    )
+    images = spark.read.parquet(f"{ORACLE_EXPORT}/resize_images")
+    return byte_checksums(resize_images(images, 8, 7, "img_id"), "img_id")
+
+
+SQL_IMAGE_RESIZE = f"""
+  WITH src AS (SELECT img_id, hex(bytes) AS hx, width AS w, height AS h
+               FROM read_parquet('{ORACLE_EXPORT}/resize_images/*.parquet')
+               WHERE codec = 'rgb8_raw'),
+  o AS (
+    SELECT img_id, hx, w, h, CAST(t.i AS BIGINT) AS k,
+           (t.i // 3) // 8 AS oy, (t.i // 3) % 8 AS ox, t.i % 3 AS ch
+    FROM src, unnest(range({7 * 8 * 3})) AS t(i)),
+  v AS (
+    SELECT img_id, k,
+      CAST('0x' || substr(hx,
+        CAST(2 * (3 * (((oy * h) // 7) * w + ((ox * w) // 8)) + ch) + 1
+             AS BIGINT), 2) AS BIGINT) AS val
+    FROM o)
+  SELECT img_id, CAST(sum(val) AS BIGINT) AS byte_sum,
+         CAST(sum(val * (k + 1)) AS BIGINT) AS weighted_sum
+  FROM v GROUP BY img_id
+"""
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 4th frame) with a TRUE differential
+    oracle: DuckDB re-decodes the exported rgb8 frame blobs in SQL and
+    recomputes each sampled frame's exact integer milli-luma sum
+    (299R+587G+114B per pixel — FP-free, see ``frame_sample``). h264
+    stub rows yield no rows on either side."""
+    from cc_net_spark.multimodal.video import frame_sample, generate_videos
+
+    generate_videos(spark, 64, seed=42).write.mode("overwrite").parquet(
+        f"{ORACLE_EXPORT}/sample_videos"
+    )
+    videos = spark.read.parquet(f"{ORACLE_EXPORT}/sample_videos")
+    return frame_sample(videos, "vid_id", every=4).select(
+        "vid_id", "frame_idx", "luma_milli_sum"
+    )
+
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+  WITH c AS (SELECT vid_id, hex(bytes) AS hx, width AS w, height AS h,
+                    n_frames AS nf
+             FROM read_parquet('{ORACLE_EXPORT}/sample_videos/*.parquet')
+             WHERE codec = 'rgb8_frames'),
+  fr AS (SELECT vid_id, hx, w, h, CAST(t.i AS BIGINT) * 4 AS frame_idx
+         FROM c, unnest(range((nf + 3) // 4)) AS t(i)),
+  px AS (
+    SELECT vid_id, frame_idx,
+      299 * CAST('0x' || substr(hx, CAST(6*(frame_idx*w*h + p.j) + 1 AS BIGINT), 2) AS BIGINT)
+    + 587 * CAST('0x' || substr(hx, CAST(6*(frame_idx*w*h + p.j) + 3 AS BIGINT), 2) AS BIGINT)
+    + 114 * CAST('0x' || substr(hx, CAST(6*(frame_idx*w*h + p.j) + 5 AS BIGINT), 2) AS BIGINT) AS li
+    FROM fr, unnest(range(w*h)) AS p(j))
+  SELECT vid_id, frame_idx, CAST(sum(li) AS BIGINT) AS luma_milli_sum
+  FROM px GROUP BY vid_id, frame_idx
+"""
+
+
 def q_substring_overlap_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT longest-common-substring length for every candidate pair of
     the substring pass (rolling-hash binary search, verify_overlap_length
@@ -1946,7 +2087,10 @@ def registry():
         "audio_features": q_audio_features,
         "audio_frame_sample": q_audio_frame_sample,
         "image_near_dup": q_image_near_dup,
+        "image_features": q_image_features,
+        "image_resize": q_image_resize,
         "video_near_dup": q_video_near_dup,
+        "video_frame_sample": q_video_frame_sample,
         "incremental_near_dup": q_incremental_near_dup,
         "incremental_near_dup_flags": q_incremental_near_dup_flags,
         "incremental_multi_family": q_incremental_multi_family,
@@ -2003,7 +2147,12 @@ def registry():
         "audio_features": SQL_AUDIO_FEATURES,
         "audio_frame_sample": SQL_AUDIO_FRAME_SAMPLE,
         "image_near_dup": SQL_IMAGE_NEAR_DUP,
+        # round-4 continuation: image/video reach audio's differential-
+        # oracle depth (DuckDB decodes the exported pixel blobs in SQL)
+        "image_features": _sql_image_features(),
+        "image_resize": SQL_IMAGE_RESIZE,
         "video_near_dup": SQL_VIDEO_NEAR_DUP,
+        "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
         # round-3 continuation: streaming LSH state re-derived in SQL
         "incremental_near_dup": _sql_incremental_near_dup(),
         "incremental_near_dup_flags": _sql_incremental_near_dup_flags(),
