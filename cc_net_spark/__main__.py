@@ -72,7 +72,16 @@ def _neardup(argv: list[str]) -> None:
     p.add_argument("--bucket-cap", type=int, default=200)
     p.add_argument("--families", default="minhash",
                    help="comma list of pair families: minhash,simhash,exact,"
-                        "audio (audio needs codec/bytes columns in --schema)")
+                        "audio,embedding (audio needs codec/bytes columns "
+                        "in --schema; embedding needs --emb-dim and an "
+                        "array<float> column in --schema)")
+    p.add_argument("--emb-col", default="embedding",
+                   help="embedding family: vector column name")
+    p.add_argument("--emb-dim", type=int, default=None,
+                   help="embedding family: vector dimension (required "
+                        "when the family is enabled)")
+    p.add_argument("--emb-threshold", type=float, default=0.95,
+                   help="embedding family: min exact cosine")
     p.add_argument("--audio-threshold", type=float, default=0.5,
                    help="audio family: min word-set Jaccard")
     p.add_argument("--audio-max-hamming", type=int, default=8,
@@ -126,6 +135,7 @@ def _neardup(argv: list[str]) -> None:
         n_state_buckets=a.state_buckets,
         audio_exact_verify=a.audio_exact_verify,
         clips_source=a.clips_source,
+        emb_col=a.emb_col, emb_dim=a.emb_dim, emb_threshold=a.emb_threshold,
     )
     print(f"neardup: processed available shards; outputs under {a.output} "
           f"(pairs/, flags/, metrics/), state under {a.state}")

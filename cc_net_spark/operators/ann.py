@@ -129,13 +129,19 @@ def hyperplane_signatures(
     dim: int,
     n_bits: int = 16,
     seed: int = 7,
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, sig long): sign-bit signature under seeded random hyperplanes."""
+    """(id, sig long[, v array<double>]): sign-bit signature under seeded
+    random hyperplanes. The id column keeps its input type.
+    ``keep_vec=True`` carries the float64 vector through in the SAME
+    Arrow pass — callers that persist (sig, vector) state together (the
+    incremental embedding family) avoid a per-batch self-join."""
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_bits, dim))
     sc = df.sparkSession.sparkContext
     bp = sc.broadcast(planes)
     src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    id_type = src.schema[id_col].dataType.simpleString()
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pl = bp.value
@@ -146,9 +152,38 @@ def hyperplane_signatures(
             m = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
             bits = (m @ pl.T) > 0  # (B, n_bits)
             sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+            out = {id_col: pdf[id_col], "sig": sig}
+            if keep_vec:
+                out["v"] = [row.tolist() for row in m]
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(compute, schema=f"{id_col} long, sig long")
+    schema = f"{id_col} {id_type}, sig long"
+    if keep_vec:
+        schema += ", v array<double>"
+    return src.mapInPandas(compute, schema=schema)
+
+
+def hyperplane_bands(
+    sigs: DataFrame, id_col: str, *, n_bits: int, bands: int
+) -> DataFrame:
+    """Explode hyperplane signatures into (id, band, key) LSH band rows —
+    ``bands`` contiguous (n_bits // bands)-bit slices, the candidate keys
+    for both the batch near-dup pass and the incremental state tables."""
+    width = n_bits // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sigs.select(id_col, F.explode(band_structs).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
+    )
 
 
 def embedding_near_dup_pairs(
@@ -172,21 +207,7 @@ def embedding_near_dup_pairs(
     sigs = hyperplane_signatures(
         df, id_col=id_col, vec_col=vec_col, dim=dim, n_bits=n_bits, seed=seed
     )
-    width = n_bits // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("sig"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("key"),
-            )
-            for i in range(bands)
-        ]
-    )
-    bucketed = sigs.select(id_col, F.explode(band_structs).alias("_b")).select(
-        id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
-    )
+    bucketed = hyperplane_bands(sigs, id_col, n_bits=n_bits, bands=bands)
     cand = candidate_pairs(bucketed, ["band", "key"], id_col, bucket_cap=bucket_cap)
     vecs = df.select(
         F.col(id_col),
@@ -366,21 +387,7 @@ def lsh_topk(
     sigs = hyperplane_signatures(
         df, id_col=id_col, vec_col=vec_col, dim=dim, n_bits=n_bits, seed=seed
     )
-    width = n_bits // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("sig"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("key"),
-            )
-            for i in range(bands)
-        ]
-    )
-    bucketed = sigs.select(id_col, F.explode(band_structs).alias("_b")).select(
-        id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
-    )
+    bucketed = hyperplane_bands(sigs, id_col, n_bits=n_bits, bands=bands)
     # undirected co-bucket pairs (salted, full recall), mirrored into the
     # directed candidate set the top-k rerank needs — identical to the raw
     # self-join's output, without its single-task quadratic bucket risk

@@ -2034,6 +2034,95 @@ def _sql_incremental_near_dup_flags() -> str:
     )
 
 
+def q_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING family of the incremental engine: arriving shards
+    probe persisted hyperplane-LSH band state; verification is exact
+    cosine against vectors stored IN state (history embeddings are never
+    re-read from the corpus). Near-dups are planted as in
+    ``embedding_near_dup``: 0.5-scaled copies at vec_id + 10M share every
+    sign bit with their originals (structural recall); copies of EVEN ids
+    match batch-0 history, copies of ODD ids match within batch 1.
+
+    Oracle: full SQL re-derivation from the exported state — the capped
+    within/history band joins exactly as ``incremental_near_dup``, with
+    cosine recomputed by DuckDB from the persisted float64 vectors."""
+    from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
+
+    base = f"{ORACLE_EXPORT}/incemb"
+    _shutil.rmtree(base, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()["embedding"])
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    nd = IncrementalNearDup(
+        f"{base}/state", f"{base}/out", id_col="vec_id",
+        families=("embedding",), emb_dim=dim,
+    )
+    nd.process_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    nd.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).unionByName(planted), 1
+    )
+    return spark.read.parquet(f"{base}/out/pairs").select(
+        F.col("_batch_id").cast("int").alias("batch"),
+        "id_a", "id_b", "kind",
+        F.col("jaccard_est").alias("cosine"),
+    )
+
+
+def _sql_incremental_embedding() -> str:
+    return f"""
+  WITH b AS (SELECT vec_id, band, key, CAST(_batch_id AS INT) AS bat
+             FROM read_parquet('{ORACLE_EXPORT}/incemb/state/embbands/**/*.parquet',
+                               hive_partitioning = 1)),
+  sigs AS (SELECT vec_id, v, CAST(_batch_id AS INT) AS bat
+           FROM read_parquet('{ORACLE_EXPORT}/incemb/state/embsigs/**/*.parquet',
+                             hive_partitioning = 1)),
+  sz AS (SELECT bat, band, key, count(*) AS n FROM b GROUP BY bat, band, key),
+  within_cand AS (
+    SELECT DISTINCT l.bat, l.vec_id AS id_a, r.vec_id AS id_b
+    FROM b l
+    JOIN b r ON l.bat = r.bat AND l.band = r.band AND l.key = r.key
+            AND l.vec_id < r.vec_id
+    JOIN sz s ON s.bat = l.bat AND s.band = l.band AND s.key = l.key
+    WHERE s.n BETWEEN 2 AND 200
+  ),
+  hist_m AS (
+    SELECT h.band, h.key, h.vec_id AS id_old,
+           row_number() OVER (PARTITION BY h.band, h.key ORDER BY h.vec_id) AS rn
+    FROM b h
+    JOIN (SELECT band, key FROM sz WHERE bat = 1 AND n <= 200) nk
+      ON h.band = nk.band AND h.key = nk.key
+    WHERE h.bat = 0
+  ),
+  cross_cand AS (
+    SELECT DISTINCT n.vec_id AS id_a, h.id_old AS id_b
+    FROM (SELECT * FROM b WHERE bat = 1) n
+    JOIN hist_m h ON n.band = h.band AND n.key = h.key AND h.rn <= 200
+    WHERE n.vec_id <> h.id_old
+  ),
+  allc AS (
+    SELECT bat, id_a, id_b, 'embedding_within' AS kind FROM within_cand
+    UNION ALL
+    SELECT CAST(1 AS INT) AS bat, id_a, id_b, 'embedding_history' AS kind
+    FROM cross_cand
+  ),
+  est AS (
+    SELECT c.bat AS batch, c.id_a, c.id_b, c.kind,
+           round(list_cosine_similarity(sa.v, sb.v), 6) AS cosine
+    FROM allc c
+    JOIN sigs sa ON sa.vec_id = c.id_a AND sa.bat = c.bat
+    JOIN sigs sb ON sb.vec_id = c.id_b
+                AND sb.bat = CASE WHEN c.kind = 'embedding_history'
+                                  THEN 0 ELSE c.bat END
+  )
+  SELECT batch, id_a, id_b, kind, cosine FROM est WHERE cosine >= 0.95
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2094,6 +2183,7 @@ def registry():
         "incremental_near_dup": q_incremental_near_dup,
         "incremental_near_dup_flags": q_incremental_near_dup_flags,
         "incremental_multi_family": q_incremental_multi_family,
+        "incremental_embedding": q_incremental_embedding,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -2157,5 +2247,6 @@ def registry():
         "incremental_near_dup": _sql_incremental_near_dup(),
         "incremental_near_dup_flags": _sql_incremental_near_dup_flags(),
         "incremental_multi_family": _sql_incremental_multi_family(),
+        "incremental_embedding": _sql_incremental_embedding(),
     }
     return q, o

@@ -62,7 +62,7 @@ from cc_net_spark.sources.hadoop_fs import (
     write_small_text,
 )
 
-FAMILIES = ("minhash", "simhash", "exact", "audio")
+FAMILIES = ("minhash", "simhash", "exact", "audio", "embedding")
 
 
 def _join_path(base: str, *parts: str) -> str:
@@ -105,7 +105,14 @@ class IncrementalNearDup:
     can share every coarse occupancy word). Like ``keep_shingles=False``
     for text, history audio bytes are never re-decoded (the batch pays
     one decode pass; an exact PCM-SNR verdict, when needed, is a bounded
-    follow-up read of just the matched clips). Text families share ONE fused
+    follow-up read of just the matched clips). ``embedding`` covers the
+    vector modality: hyperplane-LSH band keys over an ``array<float>``
+    column (``emb_dim`` required — the seeded hyperplane set is baked
+    into persisted signatures), EXACT-cosine verify >= ``emb_threshold``
+    against vectors persisted in state (one Arrow pass computes
+    signature + float64 vector; history embeddings are never re-read
+    from the corpus; the cosine rides the ``jaccard_est`` verdict-score
+    column). Text families share ONE fused
     signature scan per batch and the same capped within/history probe
     machinery; the substring family is deliberately absent — its gram
     state is ~len(text)/10 rows per doc, which at 10^12 docs is a
@@ -141,6 +148,12 @@ class IncrementalNearDup:
         audio_exact_verify: bool = False,
         audio_min_snr_db: float = 30.0,
         clips_source: str | None = None,
+        emb_col: str = "embedding",
+        emb_dim: int | None = None,
+        emb_threshold: float = 0.95,
+        emb_n_bits: int = 32,
+        emb_bands: int = 4,
+        emb_seed: int = 7,
     ):
         unknown = set(families) - set(FAMILIES)
         if unknown or not families:
@@ -151,6 +164,12 @@ class IncrementalNearDup:
                 "holding history clip bytes) — history audio is never "
                 "persisted in state"
             )
+        if "embedding" in families and emb_dim is None:
+            raise ValueError(
+                "the embedding family needs emb_dim (the hyperplane set is "
+                "baked into persisted signatures — it cannot be inferred "
+                "per batch without a driver action)"
+            )
         self.state_path = state_path
         self.sigs_path = _join_path(state_path, "sigs")
         self.bands_path = _join_path(state_path, "bands")
@@ -158,6 +177,8 @@ class IncrementalNearDup:
         self.exactkeys_path = _join_path(state_path, "exactkeys")
         self.audiosigs_path = _join_path(state_path, "audiosigs")
         self.audiowords_path = _join_path(state_path, "audiowords")
+        self.embsigs_path = _join_path(state_path, "embsigs")
+        self.embbands_path = _join_path(state_path, "embbands")
         self.meta_path = _join_path(state_path, "meta")
         self.output_path = output_path
         self.text_col = text_col
@@ -176,6 +197,12 @@ class IncrementalNearDup:
         self.audio_exact_verify = audio_exact_verify
         self.audio_min_snr_db = audio_min_snr_db
         self.clips_source = clips_source
+        self.emb_col = emb_col
+        self.emb_dim = emb_dim
+        self.emb_threshold = emb_threshold
+        self.emb_n_bits = emb_n_bits
+        self.emb_bands = emb_bands
+        self.emb_seed = emb_seed
         self._meta_checked = False
         # one file-listing/schema-inference per state table per batch;
         # cleared at the top of process_batch so a batch never sees its
@@ -365,16 +392,17 @@ class IncrementalNearDup:
 
     def _hist_vals(
         self, spark: SparkSession, cross: DataFrame | None, batch_id: int,
-        col: str,
+        col: str, path: str | None = None,
     ) -> DataFrame | None:
-        """Verification values for a cross candidate set: the sigs state
-        read pruned to the buckets holding the matched history ids (the
-        cross side is checkpointed and capped — the collect is tiny)."""
+        """Verification values for a cross candidate set: the signature
+        state read (``path``, default the fused text sigs) pruned to the
+        buckets holding the matched history ids (the cross side is
+        checkpointed and capped — the collect is tiny)."""
         if cross is None:
             return None
         idc = self.id_col
         ids = cross.select(F.col("id_b").alias(idc))
-        hsig = self._hist_by_id(spark, self.sigs_path, batch_id, ids, idc)
+        hsig = self._hist_by_id(spark, path or self.sigs_path, batch_id, ids, idc)
         if hsig is None:
             return None
         return hsig.select(idc, F.col(col).alias("_v"), "_batch_id")
@@ -672,6 +700,65 @@ class IncrementalNearDup:
                 ]
             pair_parts.extend(audio_parts)
 
+        esig = None
+        if "embedding" in self.families:
+            from cc_net_spark.operators.ann import (
+                hyperplane_bands,
+                hyperplane_signatures,
+                _cosine,
+            )
+
+            # one Arrow pass computes the sign-bit signature AND carries
+            # the float64 vector through (keep_vec) — the (sig, vector)
+            # row IS the persisted state, so history vectors are never
+            # re-read from the corpus (the embedding analogue of
+            # keep_shingles=False); id cast to string like every other
+            # signature table
+            esig = (
+                hyperplane_signatures(
+                    batch.withColumn(idc, F.col(idc).cast("string")),
+                    id_col=idc,
+                    vec_col=self.emb_col,
+                    dim=self.emb_dim,
+                    n_bits=self.emb_n_bits,
+                    seed=self.emb_seed,
+                    keep_vec=True,
+                )
+                .localCheckpoint()
+            )
+            ebands = hyperplane_bands(
+                esig, idc, n_bits=self.emb_n_bits, bands=self.emb_bands
+            ).localCheckpoint()
+            within, cross, m = self._family_candidates(
+                spark, ebands, ["band", "key"], self.embbands_path, batch_id
+            )
+            metric_rows.append(("embedding", *m))
+            state_writes.append((ebands, self.embbands_path, ["band", "key"]))
+            state_writes.append((esig, self.embsigs_path, [idc]))
+            vals = esig.select(idc, F.col("v").alias("_v"))
+            hvals = self._hist_vals(
+                spark, cross, batch_id, "v", path=self.embsigs_path
+            )
+            # verify on EXACT cosine (JVM fold over the state vectors);
+            # the score rides the jaccard_est column — the pairs schema
+            # is a fixed on-disk contract, and both are [0, 1] "how
+            # similar" verdict scores (threshold-filtered, so a negative
+            # cosine never lands in the table)
+            cos = F.round(_cosine(F.col("_va"), F.col("_vb")), 6)
+            for cand, is_cross, kind in ((within, False, "embedding_within"),
+                                         (cross, True, "embedding_history")):
+                if cand is None or (is_cross and hvals is None):
+                    continue
+                ok = (
+                    self._fetch(cand, vals, hvals, is_cross)
+                    .withColumn("jaccard_est", cos)
+                    .filter(F.col("jaccard_est") >= self.emb_threshold)
+                )
+                pair_parts.append(
+                    ok.select("id_a", "id_b", "jaccard_est", null_ham,
+                              F.lit(kind).alias("kind"))
+                )
+
         pairs = pair_parts[0]
         for part in pair_parts[1:]:
             pairs = pairs.unionByName(part)
@@ -699,14 +786,18 @@ class IncrementalNearDup:
         # shard touches only its own buckets).
         batch_ids = batch.select(F.col(idc).cast("string").alias(idc))
         # the ids' buckets are collected from a CHECKPOINTED signature
-        # table (sig / asig_all), not by re-scanning the batch source
-        ids_src = sig if sig is not None else asig_all
+        # table (sig / asig_all / esig), not by re-scanning the batch source
+        ids_src = sig if sig is not None else (
+            asig_all if "audio" in self.families else esig
+        )
         batch_kbs = self._bucket_ids(ids_src.select(idc), [idc])
         redeliv_paths = []
         if need_text:
             redeliv_paths.append((self.sigs_path, None))
         if "audio" in self.families:
             redeliv_paths.append((self.audiosigs_path, F.col("decode_ok")))
+        if "embedding" in self.families:
+            redeliv_paths.append((self.embsigs_path, None))
         for path, extra in redeliv_paths:
             h = self._history(spark, path, batch_id, batch_kbs)
             if h is None:
@@ -808,6 +899,8 @@ def compact_state(
         ("exactkeys", [id_col, "tkey"]),
         ("audiosigs", [id_col]),
         ("audiowords", [id_col, "word"]),
+        ("embsigs", [id_col]),
+        ("embbands", [id_col, "band", "key"]),
     )
     fs, src = _hadoop_fs(spark, _join_path(state_path, "meta", "meta.json"))
     if fs.exists(src):
@@ -893,11 +986,13 @@ def maybe_compact_state(
     invocations), which is also required for correctness of
     ``upto_batch``. Returns True iff a compaction happened."""
     recover_state_swap(spark, state_path)
-    fs, sigs_dir = _hadoop_fs(spark, _join_path(state_path, "sigs"))
-    probe_dir = sigs_dir
+    fs, probe_dir = _hadoop_fs(spark, _join_path(state_path, "sigs"))
     if not fs.exists(probe_dir):  # payload-only stream: no text state
-        _, probe_dir = _hadoop_fs(spark, _join_path(state_path, "audiosigs"))
-        if not fs.exists(probe_dir):
+        for alt in ("audiosigs", "embsigs"):
+            _, probe_dir = _hadoop_fs(spark, _join_path(state_path, alt))
+            if fs.exists(probe_dir):
+                break
+        else:
             return False
     n_batches = sum(
         1

@@ -785,3 +785,78 @@ def test_swap_crash_recovery_restores_live_state(spark, tmp_path):
     assert os.path.exists(f"{state}/sigs")
     assert not os.path.exists(state + "_precompact")
     assert not recover_state_swap(spark, state)  # idempotent no-op
+
+
+def test_embedding_family_incremental(spark, tmp_path):
+    """The vector modality: arriving shards probe persisted hyperplane-
+    LSH band state; verification is exact cosine against vectors stored
+    IN state (history embeddings never re-read). A 0.5-scaled copy is a
+    structural near-dup (all sign bits identical, cosine 1.0); an
+    orthogonal vector never pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    ortho = np.zeros(16)
+    ortho[0] = 1.0
+    base -= base @ ortho * ortho  # exactly orthogonal to `ortho`
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in items],
+            "clip_id long, embedding array<float>",
+        )
+
+    nd = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        families=("embedding",), emb_dim=16,
+    )
+    nd.process_batch(rows([("10", base), ("11", ortho)]), 0)
+    # batch 1: a scaled copy of base (history match), a scaled copy of
+    # itself under a larger id (within match), and an unrelated vector
+    nd.process_batch(
+        rows([("20", 0.5 * base), ("21", 0.25 * base),
+              ("22", rng.normal(size=16))]),
+        1,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["kind"], r["jaccard_est"])
+        for r in spark.read.parquet(str(tmp_path / "out" / "pairs")).collect()
+    }
+    assert ("20", "10", "embedding_history", 1.0) in pairs
+    assert ("21", "10", "embedding_history", 1.0) in pairs
+    assert ("20", "21", "embedding_within", 1.0) in pairs
+    assert all(k in ("embedding_within", "embedding_history") for _, _, k, _ in pairs)
+    assert not any("22" in (a, b) or "11" in (a, b) for a, b, _, _ in pairs)
+
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags"))
+        .filter(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert flags == {"20": True, "21": True, "22": False}
+
+    # replay of batch 1 is idempotent (state overwrite scoped to the batch)
+    nd2 = IncrementalNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        families=("embedding",), emb_dim=16,
+    )
+    nd2.process_batch(
+        rows([("20", 0.5 * base), ("21", 0.25 * base),
+              ("22", rng.normal(size=16))]),
+        1,
+    )
+    again = {
+        (r["id_a"], r["id_b"], r["kind"], r["jaccard_est"])
+        for r in spark.read.parquet(str(tmp_path / "out" / "pairs")).collect()
+    }
+    assert again == pairs
+
+    # emb_dim is mandatory for the family
+    import pytest
+
+    with pytest.raises(ValueError, match="emb_dim"):
+        IncrementalNearDup(
+            str(tmp_path / "s2"), str(tmp_path / "o2"), families=("embedding",)
+        )
