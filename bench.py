@@ -436,6 +436,32 @@ def main() -> None:
         nd.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
         t, _ = timed(nd.process_batch, docs.filter(F.col("doc_id") % 2 == 1), 1)
         timings["incremental_neardup_probe"] = round(t, 3)
+
+        # embedding-family probe (round-4 coverage): an arriving vector
+        # shard probing persisted hyperplane-LSH state, exact-cosine
+        # verify against vectors stored in state. History build untimed;
+        # planted 0.5-scaled copies guarantee real history matches.
+        dim = len(emb.select("embedding").first()["embedding"])
+        nde = IncrementalNearDup(
+            os.path.join(inc, "estate"), os.path.join(inc, "eout"),
+            id_col="vec_id", families=("embedding",), emb_dim=dim,
+        )
+        planted = emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float"))
+            .alias("embedding"),
+        )
+        nde.process_batch(
+            emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"), 0
+        )
+        t, _ = timed(
+            nde.process_batch,
+            emb.filter(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding")
+            .unionByName(planted),
+            1,
+        )
+        timings["incremental_embedding_probe"] = round(t, 3)
     finally:
         spark.stop()
 

@@ -110,6 +110,8 @@ def _neardup(argv: list[str]) -> None:
         for req in ("input", "output", "checkpoint"):
             if getattr(a, req) is None:
                 p.error(f"--{req} is required unless --compact-upto is given")
+        if "embedding" in a.families.split(",") and a.emb_dim is None:
+            p.error("--emb-dim is required when the embedding family is enabled")
 
     from cc_net_spark.session import get_spark
 

@@ -708,6 +708,23 @@ class IncrementalNearDup:
                 _cosine,
             )
 
+            # poison-record defense (same invariant as the audio decode:
+            # counted, never raised — a foreachBatch crash replays into
+            # itself forever): a null vector, a wrong-length vector, or
+            # a vector with null elements would crash the Arrow kernel's
+            # dense matmul; such rows are dropped from the family and
+            # metered, while still receiving a (non-dup) flag row
+            vcol = F.col(self.emb_col)
+            valid = (
+                vcol.isNotNull()
+                & (F.size(vcol) == self.emb_dim)
+                & ~F.exists(vcol, lambda x: x.isNull())
+            )
+            src = batch.withColumn(idc, F.col(idc).cast("string"))
+            bad_ids = src.filter(~valid).select(idc).localCheckpoint()
+            n_bad = bad_ids.count()
+            if n_bad:
+                metric_rows.append(("embedding_invalid_vectors", n_bad, 0, 0))
             # one Arrow pass computes the sign-bit signature AND carries
             # the float64 vector through (keep_vec) — the (sig, vector)
             # row IS the persisted state, so history vectors are never
@@ -716,7 +733,7 @@ class IncrementalNearDup:
             # signature table
             esig = (
                 hyperplane_signatures(
-                    batch.withColumn(idc, F.col(idc).cast("string")),
+                    src.filter(valid),
                     id_col=idc,
                     vec_col=self.emb_col,
                     dim=self.emb_dim,
@@ -785,12 +802,16 @@ class IncrementalNearDup:
         # bucket — correct: every id must be checked — but a small late
         # shard touches only its own buckets).
         batch_ids = batch.select(F.col(idc).cast("string").alias(idc))
-        # the ids' buckets are collected from a CHECKPOINTED signature
-        # table (sig / asig_all / esig), not by re-scanning the batch source
-        ids_src = sig if sig is not None else (
-            asig_all if "audio" in self.families else esig
-        )
-        batch_kbs = self._bucket_ids(ids_src.select(idc), [idc])
+        # the ids' buckets are collected from CHECKPOINTED signature
+        # tables (sig / asig_all / esig + its dropped ids), not by
+        # re-scanning the batch source
+        if sig is not None:
+            ids_for_kbs = sig.select(idc)
+        elif "audio" in self.families:
+            ids_for_kbs = asig_all.select(idc)
+        else:  # embedding-only: invalid-vector rows still carry flags
+            ids_for_kbs = esig.select(idc).unionByName(bad_ids)
+        batch_kbs = self._bucket_ids(ids_for_kbs, [idc])
         redeliv_paths = []
         if need_text:
             redeliv_paths.append((self.sigs_path, None))
@@ -945,7 +966,12 @@ def recover_state_swap(spark: SparkSession, state_path: str) -> bool:
     the second rename, before the cleanup delete), the live tree is the
     complete compacted one — just drop the leftover. Returns True iff it
     changed anything. Called automatically by ``maybe_compact_state``
-    and on the first ``process_batch`` of a handler lifetime."""
+    and on the first ``process_batch`` of a handler lifetime.
+
+    The both-exist inference requires ATOMIC renames (each tree is then
+    all-or-nothing); ``maybe_compact_state`` refuses to start a swap on
+    schemes where rename is copy+delete, so that precondition holds
+    wherever a swap can actually have happened."""
     fs, live = _hadoop_fs(spark, state_path)
     _, old = _hadoop_fs(spark, state_path.rstrip("/") + "_precompact")
     _, tmp = _hadoop_fs(spark, state_path.rstrip("/") + "_compacting")
@@ -965,6 +991,22 @@ def recover_state_swap(spark: SparkSession, state_path: str) -> bool:
     return True
 
 
+# schemes whose directory rename is a single atomic metadata operation.
+# On object stores (s3a/s3/gs/wasb/oss/cos) rename is per-object
+# copy+delete: a crash mid-rename leaves BOTH trees partial, and no
+# local recovery can distinguish "live is complete" from "live lost
+# rows" — the auto-swap refuses there (compact out-of-place with
+# ``compact_state`` and flip a catalog/snapshot pointer instead, which
+# is how an Iceberg deployment does it anyway).
+_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"file", "hdfs", "viewfs", "webhdfs", "abfs", "abfss", "o3fs", "ofs"}
+)
+
+
+def _rename_is_atomic(scheme: str | None) -> bool:
+    return (scheme or "file") in _ATOMIC_RENAME_SCHEMES
+
+
 def maybe_compact_state(
     spark: SparkSession,
     state_path: str,
@@ -980,13 +1022,24 @@ def maybe_compact_state(
 
     Swap protocol: compact out-of-place to ``<state>_compacting``, rename
     the live tree to ``<state>_precompact``, rename the compacted tree to
-    ``<state>``, delete the old tree. ``FileSystem.rename`` is atomic on
-    HDFS/POSIX; on S3-class stores it is copy+delete — run this only
-    while the stream is stopped (``Trigger.AvailableNow`` between
-    invocations), which is also required for correctness of
-    ``upto_batch``. Returns True iff a compaction happened."""
-    recover_state_swap(spark, state_path)
+    ``<state>``, delete the old tree. The protocol (and
+    ``recover_state_swap``'s crash inference) is only sound where
+    ``FileSystem.rename`` is atomic — on object stores it is per-object
+    copy+delete and a mid-rename crash leaves both trees PARTIAL, so the
+    swap refuses non-atomic schemes outright (see
+    ``_ATOMIC_RENAME_SCHEMES``). Run only while the stream is stopped
+    (``Trigger.AvailableNow`` between invocations), which is also
+    required for correctness of ``upto_batch``. Returns True iff a
+    compaction happened."""
     fs, probe_dir = _hadoop_fs(spark, _join_path(state_path, "sigs"))
+    if not _rename_is_atomic(probe_dir.toUri().getScheme()):
+        raise RuntimeError(
+            f"maybe_compact_state: rename is not atomic on "
+            f"'{probe_dir.toUri().getScheme()}' — a crashed swap would be "
+            f"unrecoverable. Use compact_state(out_path=...) and flip a "
+            f"catalog/snapshot pointer instead."
+        )
+    recover_state_swap(spark, state_path)
     if not fs.exists(probe_dir):  # payload-only stream: no text state
         for alt in ("audiosigs", "embsigs"):
             _, probe_dir = _hadoop_fs(spark, _join_path(state_path, alt))
@@ -1004,10 +1057,11 @@ def maybe_compact_state(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     tmp = state_path.rstrip("/") + "_compacting"
     old = state_path.rstrip("/") + "_precompact"
-    for stale in (tmp, old):  # a crashed previous attempt
-        _, p = _hadoop_fs(spark, stale)
-        if fs.exists(p):
-            fs.delete(p, True)
+    # recover_state_swap above guarantees _precompact is gone; only a
+    # half-written compaction output from a crashed attempt can remain
+    _, p = _hadoop_fs(spark, tmp)
+    if fs.exists(p):
+        fs.delete(p, True)
     compact_state(spark, state_path, tmp, upto_batch=upto_batch, id_col=id_col)
     if not fs.rename(jvm_path(state_path), jvm_path(old)):
         raise RuntimeError(f"compaction swap: rename {state_path} -> {old} failed")

@@ -860,3 +860,51 @@ def test_embedding_family_incremental(spark, tmp_path):
         IncrementalNearDup(
             str(tmp_path / "s2"), str(tmp_path / "o2"), families=("embedding",)
         )
+
+
+def test_embedding_poison_vectors_are_metered_not_raised(spark):
+    """A null / wrong-length / null-element vector must not crash the
+    batch (a foreachBatch crash replays into itself forever): such rows
+    are dropped from the family, metered, and still flagged non-dup."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        nd = IncrementalNearDup(
+            f"{td}/state", f"{td}/out", families=("embedding",), emb_dim=4
+        )
+        rows = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0, 3.0, 4.0]),
+                (2, None),                      # null vector
+                (3, [1.0, 2.0]),                # wrong length
+                (4, [1.0, None, 3.0, 4.0]),     # null element
+                (5, [2.0, 4.0, 6.0, 8.0]),      # scaled copy of id 1
+            ],
+            "clip_id long, embedding array<float>",
+        )
+        nd.process_batch(rows, 0)
+        flags = {
+            r["clip_id"]: r["is_near_dup"]
+            for r in spark.read.parquet(f"{td}/out/flags").collect()
+        }
+        # every row gets a flag; poison rows are non-dup; the valid
+        # scaled copy still pairs with its original
+        assert flags == {"1": False, "2": False, "3": False, "4": False,
+                         "5": True}
+        metrics = {
+            r["family"]: r["n_buckets"]
+            for r in spark.read.parquet(f"{td}/out/metrics").collect()
+        }
+        assert metrics["embedding_invalid_vectors"] == 3
+
+
+def test_swap_refuses_non_atomic_rename_schemes():
+    """The compaction swap protocol is only sound under atomic renames;
+    object-store schemes must be refused (a mid-rename crash there
+    leaves both trees partial — unrecoverable locally)."""
+    from cc_net_spark.streaming.incremental_neardup import _rename_is_atomic
+
+    for ok in (None, "file", "hdfs", "viewfs", "abfss"):
+        assert _rename_is_atomic(ok), ok
+    for bad in ("s3a", "s3", "gs", "wasb", "oss", "cos"):
+        assert not _rename_is_atomic(bad), bad
