@@ -908,3 +908,59 @@ def test_swap_refuses_non_atomic_rename_schemes():
         assert _rename_is_atomic(ok), ok
     for bad in ("s3a", "s3", "gs", "wasb", "oss", "cos"):
         assert not _rename_is_atomic(bad), bad
+
+
+def test_embedding_state_compacts_and_composes_with_text(spark, tmp_path):
+    """The embedding family composes with a text family in one handler
+    (separate state tables, shared flag surface), and compaction
+    preserves the embedding tables — a post-compaction shard still
+    matches pre-compaction vector history."""
+    import numpy as np
+
+    from cc_net_spark.streaming.incremental_neardup import maybe_compact_state
+
+    rng = np.random.default_rng(7)
+    v0, v1, v2 = rng.normal(size=16), rng.normal(size=16), rng.normal(size=16)
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(i, t, [float(x) for x in v]) for i, t, v in items],
+            "clip_id string, transcript string, embedding array<float>",
+        )
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    nd = IncrementalNearDup(
+        state, out, families=("minhash", "embedding"), emb_dim=16
+    )
+    nd.process_batch(rows([("a0", BASE, v0)]), 0)
+    nd.process_batch(rows([("a1", OTHER, v1)]), 1)
+    nd.process_batch(rows([("a2", THIRD, v2)]), 2)
+    assert maybe_compact_state(spark, state, upto_batch=3, min_batches=3)
+    # compacted embedding tables keep their bucketed layout
+    embsigs = spark.read.parquet(f"{state}/embsigs")
+    assert embsigs.count() == 3
+    assert "_kb" in embsigs.columns
+
+    # b0: near-dup TEXT of a0 with an unrelated vector; b1: unrelated
+    # text with a scaled copy of a1's vector -> one match per family,
+    # both against COMPACTED history
+    nd.process_batch(
+        rows([("b0", BASE, rng.normal(size=16)),
+              ("b1", " ".join(f"z{w}" for w in BASE.split()), 0.5 * v1)]),
+        5,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in spark.read.parquet(f"{out}/pairs")
+        .filter(F.col("_batch_id") == 5)
+        .collect()
+    }
+    assert ("b0", "a0", "history") in pairs
+    assert ("b1", "a1", "embedding_history") in pairs
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(f"{out}/flags")
+        .filter(F.col("_batch_id") == 5)
+        .collect()
+    }
+    assert flags == {"b0": True, "b1": True}
