@@ -99,6 +99,10 @@ def _neardup(argv: list[str]) -> None:
     p.add_argument("--compact-upto", type=int, default=None, metavar="N",
                    help="compact state batches < N into one partition "
                         "(writes <state>_compacted)")
+    p.add_argument("--pointer-state", action="store_true",
+                   help="manage --state as a pointer root (versioned "
+                        "trees + atomic CURRENT flip — the object-store-"
+                        "safe compaction layout)")
     p.add_argument("--compact-min-batches", type=int, default=None,
                    metavar="K",
                    help="after the trigger drains, auto-compact + swap "
@@ -129,6 +133,7 @@ def _neardup(argv: list[str]) -> None:
     run_incremental_near_dup(
         spark, a.input, a.schema, a.state, a.output, a.checkpoint,
         compact_min_batches=a.compact_min_batches,
+        pointer_state=a.pointer_state,
         text_col=a.text_col, id_col=a.id_col,
         threshold=a.threshold, bucket_cap=a.bucket_cap,
         families=tuple(a.families.split(",")),

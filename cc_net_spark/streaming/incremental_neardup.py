@@ -1007,6 +1007,85 @@ def _rename_is_atomic(scheme: str | None) -> bool:
     return (scheme or "file") in _ATOMIC_RENAME_SCHEMES
 
 
+def _n_state_batches(spark: SparkSession, state_path: str) -> int | None:
+    """Number of ``_batch_id=`` partitions in the state's signature
+    table (text, else audio, else embedding) — None if no state exists
+    yet. A pure FS-metadata probe."""
+    fs = None
+    for sub in ("sigs", "audiosigs", "embsigs"):
+        fs, probe_dir = _hadoop_fs(spark, _join_path(state_path, sub))
+        if fs.exists(probe_dir):
+            return sum(
+                1
+                for st in fs.listStatus(probe_dir)
+                if st.isDirectory()
+                and st.getPath().getName().startswith("_batch_id=")
+            )
+    return None
+
+
+def init_state_pointer(spark: SparkSession, root: str) -> str:
+    """Initialize (or resolve) a POINTER-MANAGED state root: the live
+    state tree is ``<root>/<contents of root/CURRENT>``. Returns the
+    live tree path, creating ``CURRENT -> v0`` on first use. This is
+    the object-store-safe layout: compaction never renames directories —
+    it writes a fresh versioned tree and flips the one-line CURRENT
+    file (a single small-object overwrite, atomic on object stores; the
+    catalog-pointer pattern an Iceberg deployment uses for every
+    commit)."""
+    marker = _join_path(root, "CURRENT")
+    cur = read_small_text(spark, marker)
+    if cur is None:
+        write_small_text(spark, marker, "v0")
+        return _join_path(root, "v0")
+    return _join_path(root, cur.strip())
+
+
+def compact_state_pointer(
+    spark: SparkSession,
+    root: str,
+    *,
+    upto_batch: int,
+    min_batches: int = 8,
+    id_col: str = "clip_id",
+) -> bool:
+    """Pointer-flip compaction for a root managed by
+    ``init_state_pointer`` — the compaction path that is safe on EVERY
+    filesystem, object stores included (``maybe_compact_state``'s
+    rename swap refuses those). Protocol: drop orphan version trees
+    from crashed attempts, compact the live tree out-of-place to the
+    next version, overwrite CURRENT (the atomic commit), delete the old
+    tree. A crash before the flip leaves an orphan new tree; after the
+    flip, an orphan old tree — both invisible to readers (which resolve
+    through CURRENT) and reclaimed by the next compaction. Run only
+    while the stream is stopped. Returns True iff a compaction
+    happened."""
+    import re as _re
+
+    marker = _join_path(root, "CURRENT")
+    cur = read_small_text(spark, marker)
+    if cur is None:
+        return False
+    cur = cur.strip()
+    live = _join_path(root, cur)
+    n_batches = _n_state_batches(spark, live)
+    if n_batches is None or n_batches < min_batches:
+        return False
+    fs, jroot = _hadoop_fs(spark, root)
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name != cur and _re.fullmatch(r"v\d+", name):
+            fs.delete(st.getPath(), True)  # orphan from a crashed attempt
+    nxt = f"v{int(cur[1:]) + 1}"
+    compact_state(
+        spark, live, _join_path(root, nxt), upto_batch=upto_batch, id_col=id_col
+    )
+    write_small_text(spark, marker, nxt)  # THE commit — one small object
+    _, jlive = _hadoop_fs(spark, live)
+    fs.delete(jlive, True)
+    return True
+
+
 def maybe_compact_state(
     spark: SparkSession,
     state_path: str,
@@ -1040,19 +1119,8 @@ def maybe_compact_state(
             f"catalog/snapshot pointer instead."
         )
     recover_state_swap(spark, state_path)
-    if not fs.exists(probe_dir):  # payload-only stream: no text state
-        for alt in ("audiosigs", "embsigs"):
-            _, probe_dir = _hadoop_fs(spark, _join_path(state_path, alt))
-            if fs.exists(probe_dir):
-                break
-        else:
-            return False
-    n_batches = sum(
-        1
-        for st in fs.listStatus(probe_dir)
-        if st.isDirectory() and st.getPath().getName().startswith("_batch_id=")
-    )
-    if n_batches < min_batches:
+    n_batches = _n_state_batches(spark, state_path)
+    if n_batches is None or n_batches < min_batches:
         return False
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     tmp = state_path.rstrip("/") + "_compacting"
@@ -1081,6 +1149,7 @@ def run_incremental_near_dup(
     output_path: str,
     checkpoint_path: str,
     compact_min_batches: int | None = None,
+    pointer_state: bool = False,
     **kwargs,
 ):
     """Structured Streaming file-source wrapper, AvailableNow trigger —
@@ -1089,8 +1158,17 @@ def run_incremental_near_dup(
     ``compact_min_batches``: after the trigger drains (stream stopped),
     auto-compact the state once it holds that many batch partitions —
     ``upto_batch`` is the just-committed next batch id, which is exactly
-    the enforced-safety contract of ``compact_state``."""
-    handler = IncrementalNearDup(state_path, output_path, **kwargs)
+    the enforced-safety contract of ``compact_state``.
+
+    ``pointer_state``: manage ``state_path`` as a POINTER ROOT
+    (``init_state_pointer``): the live tree is versioned under it and
+    compaction commits by flipping the one-line CURRENT file instead of
+    renaming directories — the layout to use on object stores, where
+    ``maybe_compact_state``'s rename swap is refused."""
+    live_state = (
+        init_state_pointer(spark, state_path) if pointer_state else state_path
+    )
+    handler = IncrementalNearDup(live_state, output_path, **kwargs)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
@@ -1106,7 +1184,8 @@ def run_incremental_near_dup(
     if compact_min_batches is not None:
         progress = q.lastProgress
         if progress is not None:
-            maybe_compact_state(
+            compact = compact_state_pointer if pointer_state else maybe_compact_state
+            compact(
                 spark,
                 state_path,
                 upto_batch=int(progress["batchId"]) + 1,

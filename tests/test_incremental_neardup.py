@@ -964,3 +964,84 @@ def test_embedding_state_compacts_and_composes_with_text(spark, tmp_path):
         .collect()
     }
     assert flags == {"b0": True, "b1": True}
+
+
+def test_pointer_state_compaction_flips_current(spark, tmp_path):
+    """The object-store-safe compaction path: the live tree is resolved
+    through <root>/CURRENT; compaction writes the next version and
+    commits by overwriting the one-line pointer (no directory renames).
+    Orphan trees from crashed attempts are reclaimed, and post-flip
+    probes still match pre-compaction history."""
+    from cc_net_spark.streaming.incremental_neardup import (
+        compact_state_pointer,
+        init_state_pointer,
+    )
+
+    root, out = str(tmp_path / "root"), str(tmp_path / "out")
+    live = init_state_pointer(spark, root)
+    assert live.endswith("/v0")
+    assert init_state_pointer(spark, root) == live  # idempotent resolve
+
+    nd = IncrementalNearDup(live, out)
+    for b, (cid, txt) in enumerate([("a0", BASE), ("a1", OTHER), ("a2", THIRD)]):
+        nd.process_batch(_batch(spark, [(cid, txt)]), b)
+
+    # below threshold: nothing happens
+    assert not compact_state_pointer(spark, root, upto_batch=3, min_batches=5)
+    # a crashed previous attempt left an orphan version tree
+    (tmp_path / "root" / "v1" / "junk").mkdir(parents=True)
+    assert compact_state_pointer(spark, root, upto_batch=3, min_batches=3)
+
+    import os
+
+    assert (tmp_path / "root" / "CURRENT").read_text() == "v1"
+    assert not os.path.exists(str(tmp_path / "root" / "v0"))
+    new_live = init_state_pointer(spark, root)
+    sigs = spark.read.parquet(f"{new_live}/sigs")
+    assert sigs.count() == 3
+    assert [r["_batch_id"] for r in sigs.select("_batch_id").distinct().collect()] == [2]
+
+    # a fresh handler over the flipped tree still finds compacted history
+    nd2 = IncrementalNearDup(new_live, out)
+    nd2.process_batch(_batch(spark, [("b0", BASE)]), 5)
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(f"{out}/flags")
+        .filter(F.col("_batch_id") == 5)
+        .collect()
+    }
+    assert flags == {"b0": True}
+
+
+def test_streaming_wrapper_pointer_state(spark, tmp_path):
+    """pointer_state=True on the streaming wrapper: the live tree
+    resolves through <root>/CURRENT, auto-compaction flips the pointer,
+    and a later invocation resumes against the flipped tree."""
+    import json as _json
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i, txt in enumerate([BASE, OTHER, THIRD]):
+        (inp / f"s{i}.json").write_text(
+            _json.dumps({"clip_id": f"a{i}", "transcript": txt})
+        )
+    root = str(tmp_path / "root")
+    args = (
+        spark, str(inp), "clip_id string, transcript string",
+        root, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    run_incremental_near_dup(*args, compact_min_batches=2, pointer_state=True)
+    (inp / "s3.json").write_text(
+        _json.dumps({"clip_id": "b0", "transcript": BASE})
+    )
+    run_incremental_near_dup(*args, compact_min_batches=2, pointer_state=True)
+    cur = (tmp_path / "root" / "CURRENT").read_text()
+    assert cur != "v0"  # at least one flip happened
+    sigs = spark.read.parquet(f"{root}/{cur}/sigs")
+    assert sigs.select("_batch_id").distinct().count() == 1
+    assert sigs.count() == 4
+    flags = {
+        r["clip_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "flags")).collect()
+    }
+    assert flags == {"a0": False, "a1": False, "a2": False, "b0": True}
