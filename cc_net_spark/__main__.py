@@ -121,6 +121,19 @@ def _neardup(argv: list[str]) -> None:
 
     spark = get_spark(app_name="cc_net_spark_neardup")
     if a.compact_upto is not None:
+        if a.pointer_state:
+            from cc_net_spark.streaming.incremental_neardup import (
+                compact_state_pointer,
+            )
+
+            did = compact_state_pointer(
+                spark, a.state, upto_batch=a.compact_upto,
+                min_batches=1, id_col=a.id_col,
+            )
+            print(f"neardup: pointer compaction "
+                  f"{'flipped CURRENT' if did else 'found nothing to do'} "
+                  f"under {a.state}")
+            return
         from cc_net_spark.streaming.incremental_neardup import compact_state
 
         out = a.state.rstrip("/") + "_compacted"

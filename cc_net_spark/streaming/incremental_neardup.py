@@ -260,6 +260,16 @@ class IncrementalNearDup:
             return
         import json as _json
 
+        # a POINTER root passed as a plain state path would silently
+        # write sigs/ beside v0/ and ignore all pointer-resolved history
+        # — the same loud-mismatch convention as the bucket-count check
+        _ptr_fs, _ptr = _hadoop_fs(spark, _join_path(self.state_path, "CURRENT"))
+        if _ptr_fs.exists(_ptr):
+            raise ValueError(
+                f"{self.state_path} is a pointer-managed root (CURRENT "
+                f"present) — resolve it with init_state_pointer() / "
+                f"pointer_state=True instead of using it as a state tree"
+            )
         # a compaction swap that crashed mid-window leaves the live state
         # tree missing with the original parked at _precompact — heal it
         # BEFORE the meta probe (which would otherwise see "fresh state"
@@ -913,6 +923,13 @@ def compact_state(
     ``upto_batch - 1``; a replay of any batch >= upto_batch probes
     ``_batch_id < current`` and still sees all compacted history, while
     partitions >= upto_batch pass through unchanged."""
+    fs_, jcur = _hadoop_fs(spark, _join_path(state_path, "CURRENT"))
+    if fs_.exists(jcur):
+        raise ValueError(
+            f"{state_path} is a pointer-managed root — compacting it "
+            f"directly would read zero tables and report success. Use "
+            f"compact_state_pointer(), or pass the CURRENT-resolved tree."
+        )
     tables = (
         ("sigs", [id_col]),
         ("bands", [id_col, "band", "key"]),
@@ -1024,21 +1041,79 @@ def _n_state_batches(spark: SparkSession, state_path: str) -> int | None:
     return None
 
 
+_STATE_TABLE_NAMES = (
+    "sigs", "bands", "simbands", "exactkeys",
+    "audiosigs", "audiowords", "embsigs", "embbands",
+)
+
+
+def _read_pointer(spark: SparkSession, root: str) -> str | None:
+    """Read + validate ``<root>/CURRENT``. Rolls a crashed pointer
+    commit forward (``CURRENT.tmp`` left by ``_commit_pointer``), and
+    FAILS LOUDLY on an unparseable pointer or on a root that holds
+    state tables but no pointer — both would otherwise resolve to an
+    empty tree and silently restart dedup history (the same loud-
+    mismatch convention as the n_state_buckets meta marker)."""
+    import re as _re
+
+    marker = _join_path(root, "CURRENT")
+    fs, jmark = _hadoop_fs(spark, marker)
+    _, jtmp = _hadoop_fs(spark, marker + ".tmp")
+    if not fs.exists(jmark) and fs.exists(jtmp):
+        # crashed between delete(CURRENT) and rename(tmp) — roll forward
+        if not fs.rename(jtmp, jmark):
+            raise RuntimeError(f"pointer roll-forward failed at {marker}")
+    cur = read_small_text(spark, marker)
+    if cur is None:
+        for sub in _STATE_TABLE_NAMES:
+            _, jp = _hadoop_fs(spark, _join_path(root, sub))
+            if fs.exists(jp):
+                raise ValueError(
+                    f"{root} holds a plain (non-pointer) state tree — "
+                    f"initializing a pointer here would orphan its dedup "
+                    f"history. Keep using it without pointer_state, or "
+                    f"move it to {root}/v0 and write 'v0' to {marker}."
+                )
+        return None
+    cur = cur.strip()
+    if not _re.fullmatch(r"v\d+", cur):
+        raise ValueError(
+            f"{marker} contains {cur!r} (expected v<N>) — refusing to "
+            f"resolve a corrupt pointer to an empty tree"
+        )
+    return cur
+
+
+def _commit_pointer(spark: SparkSession, root: str, version: str) -> None:
+    """Commit a new pointer value. On object stores a small-object
+    overwrite is one atomic PUT; on file/HDFS ``create(overwrite)`` is
+    truncate-then-write, so the commit goes through ``CURRENT.tmp`` +
+    rename, and ``_read_pointer`` rolls the one crash window (between
+    delete and rename) forward."""
+    marker = _join_path(root, "CURRENT")
+    fs, jmark = _hadoop_fs(spark, marker)
+    _, jtmp = _hadoop_fs(spark, marker + ".tmp")
+    write_small_text(spark, marker + ".tmp", version)
+    if fs.exists(jmark):
+        fs.delete(jmark, False)
+    if not fs.rename(jtmp, jmark):
+        raise RuntimeError(f"pointer commit failed at {marker}")
+
+
 def init_state_pointer(spark: SparkSession, root: str) -> str:
     """Initialize (or resolve) a POINTER-MANAGED state root: the live
     state tree is ``<root>/<contents of root/CURRENT>``. Returns the
     live tree path, creating ``CURRENT -> v0`` on first use. This is
     the object-store-safe layout: compaction never renames directories —
     it writes a fresh versioned tree and flips the one-line CURRENT
-    file (a single small-object overwrite, atomic on object stores; the
-    catalog-pointer pattern an Iceberg deployment uses for every
-    commit)."""
-    marker = _join_path(root, "CURRENT")
-    cur = read_small_text(spark, marker)
+    file (the catalog-pointer pattern an Iceberg deployment uses for
+    every commit). A root that already holds a PLAIN state tree is
+    refused loudly (pointer-izing it would orphan its history)."""
+    cur = _read_pointer(spark, root)
     if cur is None:
-        write_small_text(spark, marker, "v0")
-        return _join_path(root, "v0")
-    return _join_path(root, cur.strip())
+        _commit_pointer(spark, root, "v0")
+        cur = "v0"
+    return _join_path(root, cur)
 
 
 def compact_state_pointer(
@@ -1062,25 +1137,26 @@ def compact_state_pointer(
     happened."""
     import re as _re
 
-    marker = _join_path(root, "CURRENT")
-    cur = read_small_text(spark, marker)
+    cur = _read_pointer(spark, root)
     if cur is None:
         return False
-    cur = cur.strip()
     live = _join_path(root, cur)
-    n_batches = _n_state_batches(spark, live)
-    if n_batches is None or n_batches < min_batches:
-        return False
+    # orphan sweep FIRST (before the size guard): a crash after a flip
+    # but before the old-tree delete must not leak a full state copy
+    # until the next compaction happens to trigger
     fs, jroot = _hadoop_fs(spark, root)
     for st in fs.listStatus(jroot):
         name = st.getPath().getName()
         if st.isDirectory() and name != cur and _re.fullmatch(r"v\d+", name):
-            fs.delete(st.getPath(), True)  # orphan from a crashed attempt
+            fs.delete(st.getPath(), True)
+    n_batches = _n_state_batches(spark, live)
+    if n_batches is None or n_batches < min_batches:
+        return False
     nxt = f"v{int(cur[1:]) + 1}"
     compact_state(
         spark, live, _join_path(root, nxt), upto_batch=upto_batch, id_col=id_col
     )
-    write_small_text(spark, marker, nxt)  # THE commit — one small object
+    _commit_pointer(spark, root, nxt)
     _, jlive = _hadoop_fs(spark, live)
     fs.delete(jlive, True)
     return True

@@ -1045,3 +1045,80 @@ def test_streaming_wrapper_pointer_state(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out" / "flags")).collect()
     }
     assert flags == {"a0": False, "a1": False, "a2": False, "b0": True}
+
+
+def test_pointer_mismatches_fail_loudly(spark, tmp_path):
+    """Layout mismatches must never silently resolve to an empty tree:
+    a plain state tree refuses pointer-ization, a pointer root refuses
+    plain handler use and direct compact_state, a corrupt CURRENT
+    refuses to resolve, and a crashed pointer commit rolls forward."""
+    import pytest
+
+    from cc_net_spark.streaming.incremental_neardup import (
+        compact_state,
+        init_state_pointer,
+    )
+
+    # plain tree -> pointer-izing would orphan history
+    plain = str(tmp_path / "plain")
+    nd = IncrementalNearDup(plain, str(tmp_path / "out"))
+    nd.process_batch(_batch(spark, [("a0", BASE)]), 0)
+    with pytest.raises(ValueError, match="plain"):
+        init_state_pointer(spark, plain)
+
+    # pointer root used as a plain state tree -> loud error
+    root = str(tmp_path / "root")
+    live = init_state_pointer(spark, root)
+    nd2 = IncrementalNearDup(root, str(tmp_path / "out2"))
+    with pytest.raises(ValueError, match="pointer-managed"):
+        nd2.process_batch(_batch(spark, [("b0", BASE)]), 0)
+    # ... and direct compact_state on the root is refused too
+    with pytest.raises(ValueError, match="pointer-managed"):
+        compact_state(spark, root, str(tmp_path / "x"), upto_batch=1)
+    # the resolved tree works
+    nd3 = IncrementalNearDup(live, str(tmp_path / "out2"))
+    nd3.process_batch(_batch(spark, [("b0", BASE)]), 0)
+
+    # corrupt pointer -> refuse (never resolve to an empty tree)
+    (tmp_path / "root" / "CURRENT").write_text("")
+    with pytest.raises(ValueError, match="corrupt|expected"):
+        init_state_pointer(spark, root)
+    (tmp_path / "root" / "CURRENT").write_text("v0")
+
+    # crashed commit window: CURRENT deleted, CURRENT.tmp written ->
+    # next resolve rolls the commit forward
+    (tmp_path / "root" / "CURRENT.tmp").write_text("v7")
+    (tmp_path / "root" / "CURRENT").unlink()
+    (tmp_path / "root" / "v7").mkdir()
+    assert init_state_pointer(spark, root).endswith("/v7")
+    assert (tmp_path / "root" / "CURRENT").read_text() == "v7"
+
+
+def test_pointer_orphan_reclaimed_without_compaction(spark, tmp_path):
+    """A crash after the pointer flip but before the old-tree delete
+    must not leak a full state copy until the NEXT compaction: the
+    orphan sweep runs even when the size guard then returns False."""
+    from cc_net_spark.streaming.incremental_neardup import (
+        compact_state_pointer,
+        init_state_pointer,
+    )
+
+    root = str(tmp_path / "root")
+    live = init_state_pointer(spark, root)
+    nd = IncrementalNearDup(live, str(tmp_path / "out"))
+    nd.process_batch(_batch(spark, [("a0", BASE)]), 0)
+    # simulate: flip happened (CURRENT=v1 with state moved), old v0 left
+    import shutil
+
+    from cc_net_spark.sources.hadoop_fs import write_small_text
+
+    shutil.copytree(live, str(tmp_path / "root" / "v1"))
+    # flip via the Hadoop writer (a raw pathlib overwrite would leave a
+    # stale .CURRENT.crc behind on the checksummed local FS)
+    write_small_text(spark, f"{root}/CURRENT", "v1")
+
+    import os
+
+    assert not compact_state_pointer(spark, root, upto_batch=1, min_batches=99)
+    assert not os.path.exists(live)  # orphan reclaimed despite no compaction
+    assert os.path.exists(str(tmp_path / "root" / "v1" / "sigs"))
