@@ -2073,54 +2073,121 @@ def q_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_incremental_embedding() -> str:
+def _sql_emb_ctes(subdir: str, idc: str) -> str:
+    """CTE block (no WITH keyword) re-deriving the embedding family from
+    exported state: capped within/history band joins + DuckDB cosine
+    over the persisted float64 vectors. Shared by the embedding-only and
+    the text+embedding composed oracles."""
     return f"""
-  WITH b AS (SELECT vec_id, band, key, CAST(_batch_id AS INT) AS bat
-             FROM read_parquet('{ORACLE_EXPORT}/incemb/state/embbands/**/*.parquet',
+  eb AS (SELECT {idc}, band, key, CAST(_batch_id AS INT) AS bat
+         FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/embbands/**/*.parquet',
+                           hive_partitioning = 1)),
+  ebsigs AS (SELECT {idc}, v, CAST(_batch_id AS INT) AS bat
+             FROM read_parquet('{ORACLE_EXPORT}/{subdir}/state/embsigs/**/*.parquet',
                                hive_partitioning = 1)),
-  sigs AS (SELECT vec_id, v, CAST(_batch_id AS INT) AS bat
-           FROM read_parquet('{ORACLE_EXPORT}/incemb/state/embsigs/**/*.parquet',
-                             hive_partitioning = 1)),
-  sz AS (SELECT bat, band, key, count(*) AS n FROM b GROUP BY bat, band, key),
-  within_cand AS (
-    SELECT DISTINCT l.bat, l.vec_id AS id_a, r.vec_id AS id_b
-    FROM b l
-    JOIN b r ON l.bat = r.bat AND l.band = r.band AND l.key = r.key
-            AND l.vec_id < r.vec_id
-    JOIN sz s ON s.bat = l.bat AND s.band = l.band AND s.key = l.key
+  ebsz AS (SELECT bat, band, key, count(*) AS n FROM eb GROUP BY bat, band, key),
+  eb_within AS (
+    SELECT DISTINCT l.bat, l.{idc} AS id_a, r.{idc} AS id_b
+    FROM eb l
+    JOIN eb r ON l.bat = r.bat AND l.band = r.band AND l.key = r.key
+            AND l.{idc} < r.{idc}
+    JOIN ebsz s ON s.bat = l.bat AND s.band = l.band AND s.key = l.key
     WHERE s.n BETWEEN 2 AND 200
   ),
-  hist_m AS (
-    SELECT h.band, h.key, h.vec_id AS id_old,
-           row_number() OVER (PARTITION BY h.band, h.key ORDER BY h.vec_id) AS rn
-    FROM b h
-    JOIN (SELECT band, key FROM sz WHERE bat = 1 AND n <= 200) nk
+  eb_histm AS (
+    SELECT h.band, h.key, h.{idc} AS id_old,
+           row_number() OVER (PARTITION BY h.band, h.key ORDER BY h.{idc}) AS rn
+    FROM eb h
+    JOIN (SELECT band, key FROM ebsz WHERE bat = 1 AND n <= 200) nk
       ON h.band = nk.band AND h.key = nk.key
     WHERE h.bat = 0
   ),
-  cross_cand AS (
-    SELECT DISTINCT n.vec_id AS id_a, h.id_old AS id_b
-    FROM (SELECT * FROM b WHERE bat = 1) n
-    JOIN hist_m h ON n.band = h.band AND n.key = h.key AND h.rn <= 200
-    WHERE n.vec_id <> h.id_old
+  eb_cross AS (
+    SELECT DISTINCT n.{idc} AS id_a, h.id_old AS id_b
+    FROM (SELECT * FROM eb WHERE bat = 1) n
+    JOIN eb_histm h ON n.band = h.band AND n.key = h.key AND h.rn <= 200
+    WHERE n.{idc} <> h.id_old
   ),
-  allc AS (
-    SELECT bat, id_a, id_b, 'embedding_within' AS kind FROM within_cand
+  eb_allc AS (
+    SELECT bat, id_a, id_b, 'embedding_within' AS kind FROM eb_within
     UNION ALL
     SELECT CAST(1 AS INT) AS bat, id_a, id_b, 'embedding_history' AS kind
-    FROM cross_cand
+    FROM eb_cross
   ),
-  est AS (
+  eb_est AS (
     SELECT c.bat AS batch, c.id_a, c.id_b, c.kind,
            round(list_cosine_similarity(sa.v, sb.v), 6) AS cosine
-    FROM allc c
-    JOIN sigs sa ON sa.vec_id = c.id_a AND sa.bat = c.bat
-    JOIN sigs sb ON sb.vec_id = c.id_b
-                AND sb.bat = CASE WHEN c.kind = 'embedding_history'
-                                  THEN 0 ELSE c.bat END
-  )
-  SELECT batch, id_a, id_b, kind, cosine FROM est WHERE cosine >= 0.95
+    FROM eb_allc c
+    JOIN ebsigs sa ON sa.{idc} = c.id_a AND sa.bat = c.bat
+    JOIN ebsigs sb ON sb.{idc} = c.id_b
+                  AND sb.bat = CASE WHEN c.kind = 'embedding_history'
+                                    THEN 0 ELSE c.bat END
+  )"""
+
+
+def _sql_incremental_embedding() -> str:
+    return (
+        "  WITH" + _sql_emb_ctes("incemb", "vec_id") + """
+  SELECT batch, id_a, id_b, kind, cosine FROM eb_est WHERE cosine >= 0.95
 """
+    )
+
+
+def q_incremental_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO modalities in ONE fused incremental stream: each arriving
+    shard carries text AND an embedding; the minhash family probes the
+    text-LSH state while the embedding family probes the hyperplane
+    state, from one handler with one flag surface. Planted rows
+    (doc_id + 10M: same text, 0.5-scaled vector, ids < 30) match through
+    BOTH families — history for even sources, within for odd — on top of
+    the corpus's natural text near-dups.
+
+    Oracle: union of the two full SQL chains over the exported state
+    (the minhash chain of ``incremental_near_dup`` + the embedding chain
+    of ``incremental_embedding``), nothing hand-enumerated."""
+    from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
+
+    base = f"{ORACLE_EXPORT}/incte"
+    _shutil.rmtree(base, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()["embedding"])
+    corpus = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"]
+    ).select("doc_id", "text", "embedding")
+    planted = corpus.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    nd = IncrementalNearDup(
+        f"{base}/state", f"{base}/out", text_col="text", id_col="doc_id",
+        families=("minhash", "embedding"), emb_dim=dim,
+    )
+    nd.process_batch(corpus.filter(F.col("doc_id") % 2 == 0), 0)
+    nd.process_batch(
+        corpus.filter(F.col("doc_id") % 2 == 1).unionByName(planted), 1
+    )
+    return spark.read.parquet(f"{base}/out/pairs").select(
+        F.col("_batch_id").cast("int").alias("batch"),
+        "id_a", "id_b", "kind",
+        F.col("jaccard_est").alias("score"),
+    )
+
+
+def _sql_incremental_text_embedding() -> str:
+    return (
+        _sql_incnd_body("incte") + ","
+        + _sql_emb_ctes("incte", "doc_id") + """
+  SELECT batch, id_a, id_b, kind, jaccard_est AS score
+  FROM est WHERE jaccard_est >= 0.5
+  UNION ALL
+  SELECT batch, id_a, id_b, kind, cosine AS score
+  FROM eb_est WHERE cosine >= 0.95
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2184,6 +2251,7 @@ def registry():
         "incremental_near_dup_flags": q_incremental_near_dup_flags,
         "incremental_multi_family": q_incremental_multi_family,
         "incremental_embedding": q_incremental_embedding,
+        "incremental_text_embedding": q_incremental_text_embedding,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -2248,5 +2316,6 @@ def registry():
         "incremental_near_dup_flags": _sql_incremental_near_dup_flags(),
         "incremental_multi_family": _sql_incremental_multi_family(),
         "incremental_embedding": _sql_incremental_embedding(),
+        "incremental_text_embedding": _sql_incremental_text_embedding(),
     }
     return q, o
