@@ -226,6 +226,12 @@ def cluster_job(
         cfg = NearDupConfig(
             jaccard_threshold=0.5, max_hamming=4,
             fused_pairs=fused, include_exact_hashes=False,
+            # keep_shingles=False is the extreme-scale configuration
+            # (signature-estimated Jaccard verify, ~5x smaller signatures
+            # table — pipeline.py): A/B knob for the scaling study
+            keep_shingles=os.environ.get("SPARK_GRAFT_KEEP_SHINGLES", "1") == "1",
+            # >1 overlaps the independent pair-family stages (A/B knob)
+            max_parallel_stages=int(os.environ.get("SPARK_GRAFT_STAGE_PARALLEL", "1")),
         )
         clusters, _ = run_near_dup_pipeline(spark, clips_path, workdir, cfg)
         return clusters.count()

@@ -253,59 +253,113 @@ class StageRunner:
         m = self.read_manifest(stage_name)
         return m["rows"] if m else None
 
-    def run(self, stages: list[Stage], force: bool = False) -> dict[str, dict]:
-        """Run stages in order; returns {stage: manifest}. Completed stages
-        (manifest + data + matching input/external lineage) are skipped."""
+    def run(
+        self, stages: list[Stage], force: bool = False, max_parallel: int = 1
+    ) -> dict[str, dict]:
+        """Run stages respecting dependencies; returns {stage: manifest}.
+        Completed stages (manifest + data + matching input/external
+        lineage) are skipped.
+
+        ``max_parallel > 1`` runs INDEPENDENT stages (same topological
+        level, e.g. the four pair families that all read only the
+        signatures table) concurrently from driver threads: Spark's
+        scheduler interleaves their jobs across the executor slots, so
+        the per-stage driver-side barriers (planning, commit, footer
+        scan) overlap instead of summing — the Amdahl fixed cost that
+        caps scaling efficiency on short stages. Results and manifests
+        are identical to the sequential order (stage outputs are
+        independent files; each level is a barrier)."""
+        if max_parallel > 1:
+            return self._run_parallel(stages, force=force, max_parallel=max_parallel)
         results: dict[str, dict] = {}
         for st in stages:
             if not force and self.is_complete(st):
                 results[st.name] = {**self.read_manifest(st.name), "skipped": True}
                 continue
-            t0 = time.time()
-            inputs = {name: self.load(name) for name in st.inputs}
-            built = st.build(self.spark, **inputs)
-            build_metrics: dict = {}
-            if isinstance(built, tuple):
-                df, build_metrics = built
-            else:
-                df = built
-
-            final = self.data_path(st.name)
-            snapshot_id = None
-            if self.use_snapshots:
-                table = self._table(st.name)
-                snapshot_id = table.overwrite(df)
-                files = [
-                    final / f["path"] for f in table.manifest(snapshot_id)["files"]
-                ]
-                n_rows, partitions = _scan_files(files, final)
-            else:
-                tmp = self.workdir / f"_tmp-{st.name}-{uuid.uuid4().hex[:8]}"
-                df.write.mode("overwrite").parquet(str(tmp))
-                if final.exists():
-                    shutil.rmtree(final)
-                os.rename(tmp, final)
-                # rows + per-partition records from footers: zero Spark jobs
-                n_rows, partitions = _scan_parquet_dir(final)
-            extra = st.metrics_fn(self.load(st.name)) if st.metrics_fn else {}
-            extra = {**build_metrics, **extra}
-            manifest = {
-                "stage": st.name,
-                "rows": n_rows,
-                "files": len(partitions),
-                "partitions": partitions,
-                "wall_seconds": round(time.time() - t0, 3),
-                "input_fingerprints": {i: self._fingerprint(i) for i in st.inputs},
-                "external_fingerprints": {
-                    e: fingerprint_external(e) for e in st.external_inputs
-                },
-                "fingerprint": fingerprint_listing(partitions),
-                "metrics": extra,
-                **({"snapshot_id": snapshot_id} if snapshot_id is not None else {}),
-            }
-            self.manifest_path(st.name).write_text(json.dumps(manifest, indent=2))
-            results[st.name] = manifest
+            results[st.name] = self._run_one(st)
         return results
+
+    def _run_parallel(
+        self, stages: list[Stage], force: bool, max_parallel: int
+    ) -> dict[str, dict]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        results: dict[str, dict] = {}
+        remaining = list(stages)
+        in_list = {s.name for s in stages}
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            while remaining:
+                # ready = all in-list inputs already committed this run
+                level = [
+                    s
+                    for s in remaining
+                    if all(i in results or i not in in_list for i in s.inputs)
+                ]
+                if not level:
+                    raise RuntimeError(
+                        "stage dependency cycle or missing input among: "
+                        + ", ".join(s.name for s in remaining)
+                    )
+                todo: list[Stage] = []
+                for st in level:
+                    if not force and self.is_complete(st):
+                        results[st.name] = {
+                            **self.read_manifest(st.name),
+                            "skipped": True,
+                        }
+                    else:
+                        todo.append(st)
+                futs = {st.name: pool.submit(self._run_one, st) for st in todo}
+                for name, fut in futs.items():
+                    results[name] = fut.result()
+                remaining = [s for s in remaining if s.name not in results]
+        return results
+
+    def _run_one(self, st: Stage) -> dict:
+        t0 = time.time()
+        inputs = {name: self.load(name) for name in st.inputs}
+        built = st.build(self.spark, **inputs)
+        build_metrics: dict = {}
+        if isinstance(built, tuple):
+            df, build_metrics = built
+        else:
+            df = built
+
+        final = self.data_path(st.name)
+        snapshot_id = None
+        if self.use_snapshots:
+            table = self._table(st.name)
+            snapshot_id = table.overwrite(df)
+            files = [
+                final / f["path"] for f in table.manifest(snapshot_id)["files"]
+            ]
+            n_rows, partitions = _scan_files(files, final)
+        else:
+            tmp = self.workdir / f"_tmp-{st.name}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(str(tmp))
+            if final.exists():
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            # rows + per-partition records from footers: zero Spark jobs
+            n_rows, partitions = _scan_parquet_dir(final)
+        extra = st.metrics_fn(self.load(st.name)) if st.metrics_fn else {}
+        extra = {**build_metrics, **extra}
+        manifest = {
+            "stage": st.name,
+            "rows": n_rows,
+            "files": len(partitions),
+            "partitions": partitions,
+            "wall_seconds": round(time.time() - t0, 3),
+            "input_fingerprints": {i: self._fingerprint(i) for i in st.inputs},
+            "external_fingerprints": {
+                e: fingerprint_external(e) for e in st.external_inputs
+            },
+            "fingerprint": fingerprint_listing(partitions),
+            "metrics": extra,
+            **({"snapshot_id": snapshot_id} if snapshot_id is not None else {}),
+        }
+        self.manifest_path(st.name).write_text(json.dumps(manifest, indent=2))
+        return manifest
 
     # -- lineage / metrics tables -------------------------------------------
     def lineage(self) -> DataFrame:

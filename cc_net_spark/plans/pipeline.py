@@ -86,6 +86,11 @@ class NearDupConfig:
     # a lost executor must not force recomputing a truncated lineage).
     # None keeps the single-box localCheckpoint default.
     cc_checkpoint_dir: str | None = None
+    # >1 runs independent stages (the four pair families) concurrently
+    # from driver threads — Spark interleaves their jobs across executor
+    # slots, overlapping the per-stage driver barriers (see
+    # StageRunner.run). 1 keeps the fully sequential order.
+    max_parallel_stages: int = 1
 
 
 def build_stages(
@@ -300,5 +305,9 @@ def run_near_dup_pipeline(
     layer (atomic snapshots, time travel, Iceberg-shaped deployment)."""
     cfg = cfg or NearDupConfig()
     runner = StageRunner(spark, workdir, use_snapshots=use_snapshots)
-    manifests = runner.run(build_stages(clips_path, cfg, workdir), force=force)
+    manifests = runner.run(
+        build_stages(clips_path, cfg, workdir),
+        force=force,
+        max_parallel=cfg.max_parallel_stages,
+    )
     return runner.load("clusters"), manifests

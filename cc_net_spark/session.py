@@ -42,6 +42,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Trade CPU for bytes: zstd on intermediate tables and shuffle
+        # blocks. CPU parallelism scales with executors; memory/disk/net
+        # bandwidth is the scarce shared resource at 100 TB (and on this
+        # box it ANTI-scales with process count — BENCH/BASELINE.md), so
+        # spending scalable cycles to shrink unscalable bytes is the
+        # right default on both. Override via env for A/B measurement.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
+        .config("spark.io.compression.zstd.level", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

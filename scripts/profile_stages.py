@@ -70,6 +70,11 @@ def main() -> None:
                     "stages": {
                         k: m["wall_seconds"] for k, m in manifests.items()
                     },
+                    "stage_bytes": {
+                        k: sum(p["bytes"] for p in m["partitions"])
+                        for k, m in manifests.items()
+                        if "partitions" in m
+                    },
                 }
             )
         finally:

@@ -208,3 +208,37 @@ def test_pipeline_cc_checkpoint_dir(spark, tmp_path):
     assert sorted(map(tuple, base.collect())) == sorted(
         map(tuple, durable.collect())
     )
+
+
+def test_parallel_stages_match_sequential(spark, clips_path, tmp_path):
+    """max_parallel_stages>1 must produce byte-identical cluster output,
+    write the same manifests, and honor skip-on-resume semantics."""
+    import dataclasses
+
+    seq_dir, par_dir = str(tmp_path / "seq"), str(tmp_path / "par")
+    cfg_par = dataclasses.replace(CFG, max_parallel_stages=4)
+    seq, seq_m = run_near_dup_pipeline(spark, clips_path, seq_dir, CFG)
+    par, par_m = run_near_dup_pipeline(spark, clips_path, par_dir, cfg_par)
+    assert set(seq_m) == set(par_m)
+    got_seq = sorted((r["clip_id"], r["cluster_id"]) for r in seq.collect())
+    got_par = sorted((r["clip_id"], r["cluster_id"]) for r in par.collect())
+    assert got_seq == got_par
+    assert all(m["rows"] == par_m[k]["rows"] for k, m in seq_m.items())
+
+    # resume: a second parallel run skips every stage
+    _, again = run_near_dup_pipeline(spark, clips_path, par_dir, cfg_par)
+    assert all(m.get("skipped") for m in again.values())
+
+
+def test_parallel_stages_cycle_detection(spark, tmp_path):
+    runner = StageRunner(spark, tmp_path / "dag")
+
+    def build(s):
+        return s.range(1)
+
+    bad = [
+        Stage("a", build, inputs=["b"]),
+        Stage("b", build, inputs=["a"]),
+    ]
+    with pytest.raises(RuntimeError, match="cycle or missing input"):
+        runner.run(bad, max_parallel=2)
