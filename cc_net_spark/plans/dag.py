@@ -118,20 +118,23 @@ def fingerprint_listing(parts: list[dict]) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
-def fingerprint_external(path: str | Path) -> str:
+def fingerprint_external(path: str | Path, spark: SparkSession | None = None) -> str:
     """Fingerprint an external input (file or directory) from its file
     listing + sizes + mtimes — cheap stat() walk, no data reads.
 
     Scheme URIs (s3a/hdfs/abfs) are listed through the Hadoop FS API of
-    the active SparkSession — a pathlib walk would report every remote
-    input as "missing", making its fingerprint CONSTANT and silently
-    skipping stages whose remote input changed."""
+    ``spark`` (or the thread's active SparkSession) — a pathlib walk
+    would report every remote input as "missing", making its fingerprint
+    CONSTANT and silently skipping stages whose remote input changed.
+    Callers running OFF the main thread must pass ``spark`` explicitly:
+    ``getActiveSession()`` is thread-local and returns None in worker
+    threads (StageRunner's parallel mode always passes its own)."""
     if "://" in str(path):
         from pyspark.sql import SparkSession
 
         from cc_net_spark.sources.hadoop_fs import hadoop_fs
 
-        spark = SparkSession.getActiveSession()
+        spark = spark or SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError(
                 f"fingerprint_external({path}): scheme-URI inputs need an "
@@ -239,7 +242,9 @@ class StageRunner:
         expected = {i: self._fingerprint(i) for i in stage.inputs}
         if m.get("input_fingerprints", {}) != expected:
             return False
-        expected_ext = {e: fingerprint_external(e) for e in stage.external_inputs}
+        expected_ext = {
+            e: fingerprint_external(e, self.spark) for e in stage.external_inputs
+        }
         return m.get("external_fingerprints", {}) == expected_ext
 
     # -- execution ---------------------------------------------------------
@@ -352,7 +357,7 @@ class StageRunner:
             "wall_seconds": round(time.time() - t0, 3),
             "input_fingerprints": {i: self._fingerprint(i) for i in st.inputs},
             "external_fingerprints": {
-                e: fingerprint_external(e) for e in st.external_inputs
+                e: fingerprint_external(e, self.spark) for e in st.external_inputs
             },
             "fingerprint": fingerprint_listing(partitions),
             "metrics": extra,
