@@ -190,13 +190,56 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
     try:
         warm_workers(spark, cores)
         t, _ = timed(cluster_job, spark, clips_path, fused)
+        t_ctl, _ = timed(control_job, spark)
     finally:
         spark.stop()
     print(json.dumps({
         "cores": cores, "seconds": round(t, 3), "n": n,
+        "control_seconds": round(t_ctl, 3),
         "spin_ops_per_sec": round(spin),
         "membw_bytes_per_sec": round(membw),
     }))
+
+
+# fixed total work: 64 tasks (divides both leg core counts), each ~0.4 s
+# of L2-resident numpy at healthy CPU
+CONTROL_TASKS = int(os.environ.get("SPARK_GRAFT_CONTROL_TASKS", "64"))
+CONTROL_ITERS = int(os.environ.get("SPARK_GRAFT_CONTROL_ITERS", "600"))
+
+
+def control_job(spark: SparkSession, n_tasks: int = CONTROL_TASKS) -> int:
+    """COMPUTE-BOUND Spark control with the pipeline's task shape.
+
+    Same machinery as the real job — Spark scheduler, python UDF workers,
+    Arrow transfer, a final shuffle — but the kernel iterates a splitmix
+    mix over a 128 KB (L2-resident) array, so DRAM bandwidth is NOT the
+    binding resource. Total work is fixed (n_tasks independent of core
+    count), so its lo->hi ratio measures what the framework + box deliver
+    for compute-dominated stages; the gap between this efficiency and the
+    pipeline's is the memory-bandwidth wall the membw probe quantifies
+    (this box's bandwidth ANTI-scales with process count — a per-executor-
+    socket resource on a real cluster)."""
+    import numpy as np
+    import pandas as pd
+
+    iters = CONTROL_ITERS
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for seed in pdf["id"]:
+                x = np.arange(16384, dtype=np.uint64) + np.uint64(seed + 1)
+                for _ in range(iters):
+                    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                out.append(int(x[:1].view(np.int64)[0]))
+            yield pd.DataFrame({"chk": out})
+
+    df = (
+        spark.range(n_tasks)
+        .repartition(n_tasks)
+        .mapInPandas(kernel, schema="chk long")
+    )
+    return df.groupBy().count().collect()[0][0]
 
 
 def cluster_job(
@@ -328,6 +371,9 @@ def run_scaling(tmp: str) -> dict:
             "all_spin": [l["spin_ops_per_sec"] for l in legs[cores]],
             "membw_bytes_per_sec": b["membw_bytes_per_sec"],
             "clips_per_sec": round(N_SCALING / b["seconds"], 1),
+            "control_seconds": min(
+                l.get("control_seconds", float("inf")) for l in legs[cores]
+            ),
         }
     ratio = scaling["hi"]["clips_per_sec"] / scaling["lo"]["clips_per_sec"]
     scaling["n_clips"] = N_SCALING
@@ -351,6 +397,15 @@ def run_scaling(tmp: str) -> dict:
     scaling["membw_ratio"] = round(
         best[hi_cores]["membw_bytes_per_sec"] / best[lo_cores]["membw_bytes_per_sec"], 3
     )
+    # compute-bound Spark control (see control_job): the same framework +
+    # task shape without the DRAM-bandwidth dependence — its efficiency is
+    # the engine/framework scaling ceiling this box can exhibit
+    ctl_lo = scaling["lo"].get("control_seconds")
+    ctl_hi = scaling["hi"].get("control_seconds")
+    if ctl_lo and ctl_hi and ctl_hi > 0:
+        scaling["control_efficiency"] = round(
+            (ctl_lo / ctl_hi) / (hi_cores / lo_cores), 3
+        )
     return scaling
 
 

@@ -201,6 +201,44 @@ def window_hashes(text: str, L: int) -> np.ndarray:
     return prefix[L:] - prefix[:-L] * pows[L]
 
 
+def token_shingle_hashes(
+    tok_hashes: np.ndarray, tok_offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hash of every k-token window, from PER-TOKEN hashes.
+
+    Replaces the materialize-the-gram-string path: profiling showed
+    building ``" ".join(toks[j:j+k])`` strings dominated the fused
+    signature kernel (~4.2 s/1000 docs vs 0.76 s for hashing them), so
+    shingle hashes are now an order-sensitive polynomial combine of the
+    (already computed, SipHash-strength) token hashes, finished with a
+    full-avalanche splitmix64 — a handful of vectorized passes over the
+    window array, no string materialization. Like the previous scheme
+    this needs only corpus-wide self-consistency, not reference parity;
+    two distinct windows collide with prob ~2^-64 (difference polynomial
+    in an odd constant over Z/2^64 must vanish on random inputs).
+
+    tok_hashes: uint64 hashes of all docs' tokens, concatenated.
+    tok_offsets: int64, len n_docs+1; doc i owns tok_hashes[o[i]:o[i+1]].
+    Returns (flat gram hashes, gram_offsets) in the same layout; docs
+    with fewer than k tokens own zero grams (== the string path).
+    """
+    counts = np.maximum(tok_offsets[1:] - tok_offsets[:-1] - (k - 1), 0)
+    gram_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    total = int(gram_offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=U64), gram_offsets
+    # index into tok_hashes of each window start: doc i contributes
+    # tok_offsets[i] .. tok_offsets[i] + counts[i] - 1
+    starts = np.repeat(tok_offsets[:-1], counts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(gram_offsets[:-1], counts)
+    )
+    mult = U64(0x9E3779B97F4A7C15)  # odd => position-distinct contributions
+    acc = tok_hashes[starts].copy()
+    for j in range(1, k):
+        acc = acc * mult + tok_hashes[starts + j]
+    return _splitmix64(acc), gram_offsets
+
+
 def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
     """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
     SIGMOD'03 — the MOSS algorithm): the minimum hash of every w-window of

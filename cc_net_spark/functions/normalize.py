@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import numpy as np
 import pandas as pd
 
 # The typographic/CJK punctuation translation table of the reference
@@ -208,13 +209,47 @@ def normalize_for_dedup(text: str) -> str:
     return PUNCT_OR_NON_PRINTING_CHARS_RE.sub("", text)
 
 
+class _DedupTranslateTable(dict):
+    """Lazy per-codepoint ``str.translate`` table for the dedup mapping.
+
+    The two regex substitutions of ``normalize_for_dedup`` are both
+    single-CODEPOINT character classes, so they fuse into one C-level
+    translate pass: digit -> "0", punct/non-printing -> delete, everything
+    else identity. Decisions are made ONCE per distinct codepoint with the
+    very regexes the scalar path uses (byte parity by construction; a
+    pytest asserts series == map(scalar)). Profiling: the two regex passes
+    were ~30% of the fused signature kernel."""
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        # digit FIRST: the reference substitutes digits before removing
+        # punctuation, and its punct table contains full-width digits
+        # (e.g. "１"), which must become "0", not be deleted
+        if DIGIT_RE.match(ch):
+            res: int | str | None = "0"
+        elif PUNCT_OR_NON_PRINTING_CHARS_RE.match(ch):
+            res = None
+        else:
+            res = cp
+        self[cp] = res
+        return res
+
+
+_DEDUP_TABLE = _DedupTranslateTable()
+
+
 def normalize_for_dedup_series(s: pd.Series) -> pd.Series:
     """Vectorized ``normalize_for_dedup`` over a pandas Series of strings.
 
-    Equivalent to ``s.map(normalize_for_dedup)`` but using pandas' fused
-    string kernels. Nulls pass through as nulls.
+    Equivalent to ``s.map(normalize_for_dedup)``. Nulls pass through as
+    nulls.
     """
-    s = s.astype("string").str.strip().str.lower()
-    s = s.str.replace(DIGIT_RE, "0", regex=True)
-    s = s.str.replace(PUNCT_OR_NON_PRINTING_CHARS_RE, "", regex=True)
-    return s
+    vals = s.to_numpy(dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for i, t in enumerate(vals):
+        out[i] = (
+            t.strip().lower().translate(_DEDUP_TABLE)
+            if isinstance(t, str)
+            else None
+        )
+    return pd.Series(out, index=s.index, dtype="string")

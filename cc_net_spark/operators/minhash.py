@@ -27,6 +27,7 @@ from cc_net_spark.functions.hashing import (
     hash_str_array_u64,
     minhash_params,
     minhash_signatures,
+    token_shingle_hashes,
     window_hashes,
 )
 from cc_net_spark.functions.normalize import normalize_for_dedup_series
@@ -38,9 +39,12 @@ def _batch_shingles(
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Distinct shingle hashes for a batch: (flat u64, offsets, per-row arrays).
 
-    Word mode materializes n-gram strings and hashes them in ONE vectorized
-    SipHash call over the whole batch; char mode never materializes strings
-    (rolling polynomial hash over unicode codepoints).
+    Word mode hashes each TOKEN once in ONE vectorized SipHash call over
+    the whole batch and derives gram hashes as a rolling polynomial
+    combine of the token hashes (``token_shingle_hashes`` — no n-gram
+    strings are ever materialized; the string build dominated the kernel);
+    char mode never materializes strings either (rolling polynomial hash
+    over unicode codepoints).
     """
     norm = normalize_for_dedup_series(texts).fillna("")
     per_row: list[np.ndarray] = []
@@ -48,15 +52,15 @@ def _batch_shingles(
         for t in norm:
             per_row.append(np.unique(window_hashes(t, n)))
     else:
-        all_grams: list[str] = []
-        counts = np.zeros(len(norm), dtype=np.int64)
+        all_toks: list[str] = []
+        tok_counts = np.zeros(len(norm), dtype=np.int64)
         for i, t in enumerate(norm):
             toks = t.split()
-            grams = [" ".join(toks[j : j + n]) for j in range(max(0, len(toks) - n + 1))]
-            all_grams.extend(grams)
-            counts[i] = len(grams)
-        flat_all = hash_str_array_u64(all_grams) if all_grams else np.empty(0, np.uint64)
-        bounds = np.concatenate([[0], np.cumsum(counts)])
+            all_toks.extend(toks)
+            tok_counts[i] = len(toks)
+        tok_flat = hash_str_array_u64(all_toks) if all_toks else np.empty(0, np.uint64)
+        tok_offsets = np.concatenate([[0], np.cumsum(tok_counts)]).astype(np.int64)
+        flat_all, bounds = token_shingle_hashes(tok_flat, tok_offsets, n)
         for i in range(len(norm)):
             per_row.append(np.unique(flat_all[bounds[i] : bounds[i + 1]]))
     offsets = np.concatenate([[0], np.cumsum([len(a) for a in per_row])]).astype(np.int64)

@@ -41,6 +41,7 @@ from cc_net_spark.functions.hashing import (
     minhash_signatures,
     sha1_u64_series,
     simhash64,
+    token_shingle_hashes,
     window_hashes,
     winnow,
 )
@@ -78,23 +79,25 @@ def fused_signatures(
         for pdf in batches:
             norm = normalize_for_dedup_series(pdf[field]).fillna("")
             n_rows = len(norm)
-            # one split per text, shared by the shingle and simhash paths
-            toks_per_row: list[list[str]] = [t.split() for t in norm]
 
-            # --- word-shingle hashes, batched in ONE vectorized hash call
-            all_grams: list[str] = []
-            gram_counts = np.zeros(n_rows, dtype=np.int64)
-            for i, toks in enumerate(toks_per_row):
-                grams = [
-                    " ".join(toks[j : j + shingle_size])
-                    for j in range(max(0, len(toks) - shingle_size + 1))
-                ]
-                all_grams.extend(grams)
-                gram_counts[i] = len(grams)
-            flat_all = (
-                hash_str_array_u64(all_grams) if all_grams else np.empty(0, np.uint64)
+            # --- ONE tokenize + ONE vectorized token-hash call, shared by
+            # the simhash AND word-shingle paths (shingle hashes are a
+            # rolling combine of token hashes — no gram strings built)
+            all_toks: list[str] = []
+            tok_counts = np.zeros(n_rows, dtype=np.int64)
+            for i, t in enumerate(norm):
+                toks = t.split()
+                all_toks.extend(toks)
+                tok_counts[i] = len(toks)
+            tok_flat = (
+                hash_str_array_u64(all_toks) if all_toks else np.empty(0, np.uint64)
             )
-            bounds = np.concatenate([[0], np.cumsum(gram_counts)])
+            tok_offsets = np.concatenate([[0], np.cumsum(tok_counts)]).astype(np.int64)
+
+            # --- word-shingle hashes from the token hashes
+            flat_all, bounds = token_shingle_hashes(
+                tok_flat, tok_offsets, shingle_size
+            )
             per_row = [
                 np.unique(flat_all[bounds[i] : bounds[i + 1]]) for i in range(n_rows)
             ]
@@ -106,16 +109,7 @@ def fused_signatures(
             ).astype(np.uint64)
             sig = minhash_signatures(flat, offsets, a, b).view(np.int64)
 
-            # --- simhash over the token multiset, batched token hashing
-            all_toks: list[str] = []
-            tok_counts = np.zeros(n_rows, dtype=np.int64)
-            for i, toks in enumerate(toks_per_row):
-                all_toks.extend(toks)
-                tok_counts[i] = len(toks)
-            tok_flat = (
-                hash_str_array_u64(all_toks) if all_toks else np.empty(0, np.uint64)
-            )
-            tok_offsets = np.concatenate([[0], np.cumsum(tok_counts)]).astype(np.int64)
+            # --- simhash over the token multiset (same token hashes)
             sims = simhash64(tok_flat, tok_offsets)
 
             # --- winnowed substring fingerprints (kept as per-row arrays;

@@ -38,6 +38,11 @@ def test_vectorized_matches_scalar():
         "   ",
         "ONLY ASCII 123",
         "tabs\tand\x7fdel",
+        # "１" is BOTH a unicode digit and a member of the reference's
+        # punct table — the scalar order (digit sub BEFORE punct removal)
+        # must map it to "0", not delete it (caught a translate-table
+        # ordering bug)
+        "，。、„１European 99",
     ]
     got = txt.normalize_for_dedup_series(pd.Series(cases)).tolist()
     assert got == [txt.normalize_for_dedup(c) for c in cases]

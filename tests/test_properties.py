@@ -104,3 +104,41 @@ def test_simhash_pigeonhole_bands_are_exact(sigs, k):
         for b in sigs[i + 1:]:
             if ham(a, b) <= k:
                 assert bands(a) & bands(b), (a, b, k)
+
+
+@given(
+    st.lists(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4),
+                      min_size=0, max_size=12), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=50, deadline=None)
+def test_token_shingle_hashes_property(docs_tokens, k):
+    """The rolling token-hash combine must equal per-window recomputation:
+    a doc's gram hashes depend ONLY on its own token sequence (doc
+    boundaries respected), and equal windows hash equal / differing
+    windows hash differently (w.h.p.)."""
+    from cc_net_spark.functions.hashing import (
+        hash_str_array_u64,
+        token_shingle_hashes,
+    )
+
+    flat_toks = [t for doc in docs_tokens for t in doc]
+    counts = np.array([len(d) for d in docs_tokens], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    tok_flat = (
+        hash_str_array_u64(flat_toks)
+        if flat_toks
+        else np.empty(0, np.uint64)
+    )
+    grams, gbounds = token_shingle_hashes(tok_flat, offsets, k)
+    # reference: each doc independently, one window at a time
+    for i, doc in enumerate(docs_tokens):
+        got = grams[gbounds[i] : gbounds[i + 1]]
+        assert len(got) == max(0, len(doc) - k + 1)
+        for j in range(len(got)):
+            window = doc[j : j + k]
+            solo_h = hash_str_array_u64(window)
+            solo, _ = token_shingle_hashes(
+                solo_h, np.array([0, k], dtype=np.int64), k
+            )
+            assert got[j] == solo[0]
