@@ -72,6 +72,20 @@ def _join_path(base: str, *parts: str) -> str:
     return "/".join([base.rstrip("/"), *parts])
 
 
+def _run_parallel(thunks) -> list:
+    """Run independent Spark jobs concurrently from driver threads.
+    Spark's scheduler interleaves them across the executor slots; a
+    failure in any job propagates (results are re-raised in order)."""
+    thunks = list(thunks)
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a parquet dir that may not exist yet. Works on any Hadoop
     filesystem (a local Path.exists() check would silently misreport on
@@ -501,6 +515,9 @@ class IncrementalNearDup:
         need_text = bool({"minhash", "simhash", "exact"} & set(self.families))
         sig = None
         if need_text:
+            # lazy: the first family action (the sizing/bucket-set agg)
+            # materializes the checkpoint in the SAME job — one barrier
+            # instead of two per derived table
             sig = fused_signatures(
                 batch,
                 self.text_col,
@@ -509,7 +526,7 @@ class IncrementalNearDup:
                 num_perm=self.num_perm,
                 keep_shingles=False,
                 with_grams=False,
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
 
         null_jac = F.lit(None).cast("double").alias("jaccard_est")
         null_ham = F.lit(None).cast("int").alias("hamming")
@@ -517,13 +534,30 @@ class IncrementalNearDup:
         metric_rows: list[tuple] = []
         state_writes: list[tuple[DataFrame, str, list[str]]] = []
 
+        # the flags section needs the batch ids' state buckets (a tiny
+        # distinct-collect over a checkpointed signature table); kick it
+        # onto a driver thread as soon as the priority source (sig >
+        # audio sigs > embedding sigs, mirroring the flags fallback
+        # below) is materialized, so it overlaps the per-family
+        # verification collects instead of serializing after them
+        from concurrent.futures import ThreadPoolExecutor
+
+        kbs_pool = ThreadPoolExecutor(max_workers=1)
+        fut_kbs = None
+
+        def _kick_kbs(ids_df: DataFrame) -> None:
+            nonlocal fut_kbs
+            if fut_kbs is None:
+                fut_kbs = kbs_pool.submit(self._bucket_ids, ids_df, [idc])
+
         if "minhash" in self.families:
             new_bands = lsh_bands(
                 sig, idc, bands=self.bands, rows_per_band=self.rows_per_band
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             within, cross, m = self._family_candidates(
                 spark, new_bands, ["band", "key"], self.bands_path, batch_id
             )
+            _kick_kbs(sig.select(idc))
             metric_rows.append(("minhash", *m))
             state_writes.append((new_bands, self.bands_path, ["band", "key"]))
             vals = sig.select(idc, F.col("sig").alias("_v"))
@@ -551,11 +585,12 @@ class IncrementalNearDup:
                     F.explode(F.array(*_band_exprs(self.max_hamming))).alias("_b"),
                 )
                 .select(idc, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             within, cross, m = self._family_candidates(
                 spark, simbands, ["band", "key"], self.simbands_path, batch_id
             )
+            _kick_kbs(sig.select(idc))
             metric_rows.append(("simhash", *m))
             state_writes.append((simbands, self.simbands_path, ["band", "key"]))
             vals = sig.select(idc, F.col("simhash").alias("_v"))
@@ -599,6 +634,7 @@ class IncrementalNearDup:
                 )
             )
             n_keys_row = within_rep.agg(F.count(F.lit(1))).first()
+            _kick_kbs(sig.select(idc))
             metric_rows.append(("exact", int(n_keys_row[0] or 0), 0, 0))
             state_writes.append((tkeys, self.exactkeys_path, ["tkey"]))
             # history probe over the tkey-bucketed exactkeys state: the
@@ -638,8 +674,10 @@ class IncrementalNearDup:
             # the compact one-row-per-clip table IS the persisted state.
             # Undecodable clips (poison records) are counted, not raised
             # — a foreachBatch crash would replay into itself forever.
-            asig_all = audio_signatures(batch, idc).localCheckpoint()
+            asig_all = audio_signatures(batch, idc).localCheckpoint(eager=False)
             n_bad = asig_all.filter(~F.col("decode_ok")).count()
+            if not need_text:
+                _kick_kbs(asig_all.select(idc))
             if n_bad:
                 metric_rows.append(("audio_decode_failures", n_bad, 0, 0))
             asig = asig_all.filter(F.col("decode_ok"))
@@ -731,7 +769,7 @@ class IncrementalNearDup:
                 & ~F.exists(vcol, lambda x: x.isNull())
             )
             src = batch.withColumn(idc, F.col(idc).cast("string"))
-            bad_ids = src.filter(~valid).select(idc).localCheckpoint()
+            bad_ids = src.filter(~valid).select(idc).localCheckpoint(eager=False)
             n_bad = bad_ids.count()
             if n_bad:
                 metric_rows.append(("embedding_invalid_vectors", n_bad, 0, 0))
@@ -751,14 +789,16 @@ class IncrementalNearDup:
                     seed=self.emb_seed,
                     keep_vec=True,
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             ebands = hyperplane_bands(
                 esig, idc, n_bits=self.emb_n_bits, bands=self.emb_bands
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             within, cross, m = self._family_candidates(
                 spark, ebands, ["band", "key"], self.embbands_path, batch_id
             )
+            if sig is None and "audio" not in self.families:
+                _kick_kbs(esig.select(idc).unionByName(bad_ids))
             metric_rows.append(("embedding", *m))
             state_writes.append((ebands, self.embbands_path, ["band", "key"]))
             state_writes.append((esig, self.embsigs_path, [idc]))
@@ -789,7 +829,10 @@ class IncrementalNearDup:
         pairs = pair_parts[0]
         for part in pair_parts[1:]:
             pairs = pairs.unionByName(part)
-        pairs = pairs.localCheckpoint()
+        # lazy: the pairs WRITE is the first action — it materializes the
+        # checkpoint the flags write then reuses (one pairs execution,
+        # no standalone checkpoint barrier)
+        pairs = pairs.localCheckpoint(eager=False)
 
         # keep-first flags: dup iff matched history (any family), or the
         # LARGER id of a within pair (candidate_pairs canonicalizes
@@ -812,16 +855,13 @@ class IncrementalNearDup:
         # bucket — correct: every id must be checked — but a small late
         # shard touches only its own buckets).
         batch_ids = batch.select(F.col(idc).cast("string").alias(idc))
-        # the ids' buckets are collected from CHECKPOINTED signature
-        # tables (sig / asig_all / esig + its dropped ids), not by
-        # re-scanning the batch source
-        if sig is not None:
-            ids_for_kbs = sig.select(idc)
-        elif "audio" in self.families:
-            ids_for_kbs = asig_all.select(idc)
-        else:  # embedding-only: invalid-vector rows still carry flags
-            ids_for_kbs = esig.select(idc).unionByName(bad_ids)
-        batch_kbs = self._bucket_ids(ids_for_kbs, [idc])
+        # the ids' buckets were collected from CHECKPOINTED signature
+        # tables (sig / asig_all / esig + its dropped ids) on a driver
+        # thread kicked inside the family sections — by now the collect
+        # has been overlapping the verification work; just join it
+        assert fut_kbs is not None  # families is a non-empty subset
+        batch_kbs = fut_kbs.result()
+        kbs_pool.shutdown()
         redeliv_paths = []
         if need_text:
             redeliv_paths.append((self.sigs_path, None))
@@ -885,19 +925,29 @@ class IncrementalNearDup:
             "family string, n_buckets long, n_hot_buckets_dropped long, "
             "n_hot_rows_dropped long",
         )
-        write(pairs, _join_path(self.output_path, "pairs"))
+        # the pairs write materializes the lazy pairs checkpoint; the
+        # metrics write is independent and rides alongside it
+        _run_parallel([
+            lambda: write(pairs, _join_path(self.output_path, "pairs")),
+            lambda: write(metrics, _join_path(self.output_path, "metrics")),
+        ])
+        # flags reuse the now-checkpointed pairs
         write(flags, _join_path(self.output_path, "flags"))
-        write(metrics, _join_path(self.output_path, "metrics"))
         # state appends LAST: a crash before this point leaves no state,
-        # and the replay rewrites only this batch's partitions
+        # and the replay rewrites only this batch's partitions; the
+        # per-table appends are independent -> concurrent jobs
+        state_jobs = []
         if need_text:
-            write_state(
+            state_jobs.append(lambda: write_state(
                 sig.select(idc, "n_shingles", "sig", "simhash", "tkey"),
                 self.sigs_path,
                 [idc],
-            )
-        for df, path, kb_cols in state_writes:
-            write_state(df, path, kb_cols)
+            ))
+        state_jobs.extend(
+            lambda df=df, path=path, kb=kb_cols: write_state(df, path, kb)
+            for df, path, kb_cols in state_writes
+        )
+        _run_parallel(state_jobs)
 
 
 def compact_state(
