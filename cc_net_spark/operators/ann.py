@@ -208,7 +208,9 @@ def embedding_near_dup_pairs(
         df, id_col=id_col, vec_col=vec_col, dim=dim, n_bits=n_bits, seed=seed
     )
     bucketed = hyperplane_bands(sigs, id_col, n_bits=n_bits, bands=bands)
-    cand = candidate_pairs(bucketed, ["band", "key"], id_col, bucket_cap=bucket_cap)
+    cand = candidate_pairs(
+        bucketed, ["band", "key"], id_col, bucket_cap=bucket_cap, assume_unique=True
+    )
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -392,7 +394,8 @@ def lsh_topk(
     # directed candidate set the top-k rerank needs — identical to the raw
     # self-join's output, without its single-task quadratic bucket risk
     upairs = salted_candidate_pairs(
-        bucketed, ["band", "key"], id_col, hot_threshold=hot_threshold
+        bucketed, ["band", "key"], id_col, hot_threshold=hot_threshold,
+        assume_unique=True,
     )
     cand = upairs.select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")

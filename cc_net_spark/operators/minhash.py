@@ -136,8 +136,10 @@ def minhash_candidate_pairs(
     with_metrics: bool = False,
 ):
     bands_df = lsh_bands(sig_df, id_col, bands=bands, rows_per_band=rows_per_band)
+    # one row per (id, band) by construction -> skip the dedup shuffle
     return candidate_pairs(
-        bands_df, ["band", "key"], id_col, bucket_cap=bucket_cap, with_metrics=with_metrics
+        bands_df, ["band", "key"], id_col, bucket_cap=bucket_cap,
+        with_metrics=with_metrics, assume_unique=True,
     )
 
 

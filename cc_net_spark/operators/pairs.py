@@ -36,6 +36,9 @@ def candidate_pairs(
     id_col: str,
     bucket_cap: int = 200,
     with_metrics: bool = False,
+    carry: list[str] | None = None,
+    pair_filter=None,
+    assume_unique: bool = False,
 ):
     """All unordered id pairs co-occurring in a bucket, ``id_a < id_b``.
 
@@ -44,20 +47,48 @@ def candidate_pairs(
     scale they are near-always boilerplate that exact dedup already
     handles). Returns distinct pairs; with ``with_metrics`` also returns
     drop counters.
+
+    ``carry``: extra narrow columns of ``bucketed`` replicated onto both
+    pair sides and emitted as ``<col>_a`` / ``<col>_b`` — lets a caller
+    verify INLINE instead of joining the pairs back to a values table.
+    ``pair_filter``: a Column over the pair row (may reference carried
+    columns) applied BEFORE the distinct — when most candidates fail
+    verification (the usual LSH regime), filtering pre-distinct shrinks
+    the dedup shuffle from |candidates| to |matches|.
+    ``assume_unique``: promise that ``bucketed`` already holds one row
+    per (bucket, id) — true by construction for LSH band tables — which
+    skips the defensive dropDuplicates shuffle.
     """
-    b = bucketed.select(*bucket_cols, id_col).dropDuplicates([*bucket_cols, id_col])
+    carry = carry or []
+    b = bucketed.select(*bucket_cols, id_col, *carry)
+    if not assume_unique:
+        b = b.dropDuplicates([*bucket_cols, id_col])
     sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
     ok = sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= bucket_cap))
-    kept = b.join(ok.select(*bucket_cols), bucket_cols, "inner")
-
-    left = kept.select(*bucket_cols, F.col(id_col).alias("id_a"))
-    right = kept.select(*bucket_cols, F.col(id_col).alias("id_b"))
-    pairs = (
-        left.join(right, bucket_cols, "inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # shuffle-hash (build = the small qualifying-bucket side) instead of
+    # AQE's broadcast: the join then hash-partitions ``kept`` on the
+    # bucket cols, which the self-join below REUSES — no further exchange
+    # for either side (a broadcast join-back would leave ``kept``
+    # scan-partitioned and the self-join would shuffle it twice)
+    kept = b.join(
+        ok.select(*bucket_cols).hint("shuffle_hash"), bucket_cols, "inner"
     )
+
+    left = kept.select(
+        *bucket_cols, F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    right = kept.select(
+        *bucket_cols, F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
+    pairs = left.join(right, bucket_cols, "inner").filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
+    pairs = pairs.select(*out_cols).distinct()
     if not with_metrics:
         return pairs
     m = sizes.agg(
@@ -83,6 +114,9 @@ def salted_candidate_pairs(
     n_salts: int = 16,
     bucket_cap: int | None = None,
     with_metrics: bool = False,
+    carry: list[str] | None = None,
+    pair_filter=None,
+    assume_unique: bool = False,
 ):
     """Candidate pairs with HOT-BUCKET SALTING instead of dropping.
 
@@ -103,21 +137,42 @@ def salted_candidate_pairs(
     ``with_metrics=True`` returns ``(pairs, PairGenMetrics)`` counting the
     buckets/rows the ``bucket_cap`` ceiling dropped (zero when no cap) —
     the same no-silent-truncation contract as the capped generator.
+
+    ``carry`` / ``pair_filter`` / ``assume_unique``: same inline-verify
+    contracts as ``candidate_pairs`` — carried columns follow their id
+    through the hot-cell least/greatest canonicalization.
     """
-    b = bucketed.select(*bucket_cols, id_col).dropDuplicates([*bucket_cols, id_col])
+    carry = carry or []
+    b = bucketed.select(*bucket_cols, id_col, *carry)
+    if not assume_unique:
+        b = b.dropDuplicates([*bucket_cols, id_col])
     all_sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
     sizes = all_sizes
     if bucket_cap is not None:
         sizes = sizes.filter(F.col("_bsz") <= bucket_cap)
-    tagged = b.join(sizes, bucket_cols, "inner")
+    # shuffle-hash join-back (see candidate_pairs): partitions ``tagged``
+    # on the bucket cols so the cold self-join needs no further exchange
+    tagged = b.join(sizes.hint("shuffle_hash"), bucket_cols, "inner")
 
+    out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
     cold = tagged.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= hot_threshold))
     cold_pairs = (
-        cold.select(*bucket_cols, F.col(id_col).alias("id_a"))
-        .join(cold.select(*bucket_cols, F.col(id_col).alias("id_b")), bucket_cols)
+        cold.select(
+            *bucket_cols, F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in carry],
+        )
+        .join(
+            cold.select(
+                *bucket_cols, F.col(id_col).alias("id_b"),
+                *[F.col(c).alias(f"{c}_b") for c in carry],
+            ),
+            bucket_cols,
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select(*out_cols)
     )
+    if pair_filter is not None:
+        cold_pairs = cold_pairs.filter(pair_filter)
 
     hot = tagged.filter(F.col("_bsz") > hot_threshold).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
@@ -127,26 +182,38 @@ def salted_candidate_pairs(
     left = hot.select(
         *bucket_cols,
         F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
         F.col("_salt").alias("_lo"),
         F.explode(F.sequence(F.col("_salt"), F.lit(n_salts - 1))).alias("_hi"),
     )
     right = hot.select(
         *bucket_cols,
         F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
         F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_lo"),
         F.col("_salt").alias("_hi"),
     )
     # a pair lands in exactly one cell oriented by SALT order, which is
     # independent of id order — canonicalize with least/greatest (an
-    # id_a < id_b filter would drop pairs whose salt order disagrees)
+    # id_a < id_b filter would drop pairs whose salt order disagrees);
+    # carried columns swap with their ids
+    swapped = F.col("id_a") > F.col("id_b")
+    canon = [F.least("id_a", "id_b").alias("id_a"),
+             F.greatest("id_a", "id_b").alias("id_b")]
+    for c in carry:
+        canon.append(
+            F.when(swapped, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a")).alias(f"{c}_a")
+        )
+        canon.append(
+            F.when(swapped, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_b")
+        )
     hot_pairs = (
         left.join(right, [*bucket_cols, "_lo", "_hi"])
         .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
+        .select(*canon)
     )
+    if pair_filter is not None:
+        hot_pairs = hot_pairs.filter(pair_filter)
     pairs = cold_pairs.unionByName(hot_pairs).distinct()
     if not with_metrics:
         return pairs

@@ -73,6 +73,7 @@ def simhash_candidate_pairs(
     with_metrics: bool = False,
     salt_hot: bool = True,
     drop_above: int | None = None,
+    inline_verify: bool = False,
 ):
     """Pigeonhole-banded candidate pairs for Hamming <= max_hamming.
 
@@ -94,21 +95,50 @@ def simhash_candidate_pairs(
     buckets above it are dropped even in salted mode (the near-dup
     pipeline sets it; the documents-table gate query leaves it None =
     full recall). ``salt_hot=False`` restores the plain capped join with
-    drop metrics."""
+    drop metrics.
+
+    ``inline_verify=True`` carries the 8-byte signature through the pair
+    join and applies the Hamming verify BEFORE the pair distinct — with
+    the usual LSH precision (most candidates fail), this shrinks the
+    dedup shuffle from |candidates| to |matches| and removes the two
+    verify join-backs entirely. Output then carries a ``hamming`` column
+    (same rows as ``verify_hamming`` over the unverified pairs)."""
     bands = sim_df.select(
         id_col, "simhash", F.explode(F.array(*_band_exprs(max_hamming))).alias("_b")
-    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    ).select(
+        id_col, "simhash", F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
+    )
+    extra = {}
+    if inline_verify:
+        extra = {
+            "carry": ["simhash"],
+            "pair_filter": (
+                F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+                <= max_hamming
+            ),
+        }
     if salt_hot:
         from cc_net_spark.operators.pairs import salted_candidate_pairs
 
-        return salted_candidate_pairs(
+        out = salted_candidate_pairs(
             bands, ["band", "key"], id_col,
             hot_threshold=bucket_cap, bucket_cap=drop_above,
-            with_metrics=with_metrics,
+            with_metrics=with_metrics, assume_unique=True, **extra,
         )
-    return candidate_pairs(
-        bands, ["band", "key"], id_col, bucket_cap=bucket_cap, with_metrics=with_metrics
+    else:
+        out = candidate_pairs(
+            bands, ["band", "key"], id_col, bucket_cap=bucket_cap,
+            with_metrics=with_metrics, assume_unique=True, **extra,
+        )
+    if not inline_verify:
+        return out
+    pairs, metrics = out if with_metrics else (out, None)
+    pairs = pairs.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        .cast("int").alias("hamming"),
     )
+    return (pairs, metrics) if with_metrics else pairs
 
 
 def verify_hamming(

@@ -91,8 +91,11 @@ def substring_candidate_pairs(
     grams = doc_window_grams(
         df, field, id_col, length=length, normalize=normalize, winnow_window=winnow_window
     )
+    # (gram, id) is unique by construction: both the winnow and the
+    # np.unique path emit distinct gram values per doc
     return candidate_pairs(
-        grams, ["gram"], id_col, bucket_cap=gram_cap, with_metrics=with_metrics
+        grams, ["gram"], id_col, bucket_cap=gram_cap,
+        with_metrics=with_metrics, assume_unique=True,
     )
 
 

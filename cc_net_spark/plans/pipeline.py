@@ -119,8 +119,10 @@ def build_stages(
         # full-transcript exact duplicates under normalize_for_dedup:
         # bucket = tkey (sha1-u64 of the whole normalized transcript),
         # already computed by the fused signature scan
+        # signatures is one row per id -> (tkey, id) unique by construction
         return candidate_pairs(
-            signatures.select(idc, "tkey"), ["tkey"], idc, bucket_cap=cfg.bucket_cap
+            signatures.select(idc, "tkey"), ["tkey"], idc,
+            bucket_cap=cfg.bucket_cap, assume_unique=True,
         )
 
     def stage_minhash_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
@@ -147,14 +149,19 @@ def build_stages(
         # counters are always recorded into the stage manifest (the band
         # table derives from the materialized signatures parquet, so the
         # metrics pass is one cheap JVM-side re-scan, no UDF recompute).
-        cand, metrics = sh.simhash_candidate_pairs(
+        # inline_verify: the 8-byte signature rides the pair join and the
+        # Hamming filter runs BEFORE the pair distinct — the dedup shuffle
+        # holds |matches| rows instead of |candidates| (measured 3.4M
+        # candidates -> ~2% matches on the bench corpus) and the two
+        # verify join-backs disappear
+        pairs, metrics = sh.simhash_candidate_pairs(
             signatures.select(idc, "simhash"), idc,
             max_hamming=cfg.max_hamming,
             bucket_cap=max(2, cfg.bucket_cap // 4),
             drop_above=cfg.bucket_cap,
             with_metrics=True,
+            inline_verify=True,
         )
-        pairs = sh.verify_hamming(cand, signatures, idc, max_hamming=cfg.max_hamming)
         return pairs, {"pairgen": metrics.__dict__}
 
     def stage_substring_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:

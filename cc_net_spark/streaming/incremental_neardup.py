@@ -341,12 +341,12 @@ class IncrementalNearDup:
         collect for the verification fetch) materializes it once and the
         pairs DAG reuses it instead of re-running the probe join."""
         idc = self.id_col
-        within = candidate_pairs(new_rows, keys, idc, bucket_cap=self.bucket_cap)
-        bsz = (
-            new_rows.dropDuplicates([*keys, idc])
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("_bsz"))
+        # every family's key table is one row per (keys, id) by
+        # construction (band tables, np.unique'd audio words, tkeys)
+        within = candidate_pairs(
+            new_rows, keys, idc, bucket_cap=self.bucket_cap, assume_unique=True
         )
+        bsz = new_rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
         is_hot = F.col("_bsz") > self.bucket_cap
         n_buckets, n_hot, n_hot_rows, kb_set = bsz.agg(
             F.count(F.lit(1)),
