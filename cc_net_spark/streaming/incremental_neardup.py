@@ -220,8 +220,13 @@ class IncrementalNearDup:
         self._meta_checked = False
         # one file-listing/schema-inference per state table per batch;
         # cleared at the top of process_batch so a batch never sees its
-        # own appends (or a stale "absent" from before they existed)
+        # own appends (or a stale "absent" from before they existed).
+        # Locked: family sections probe state from concurrent driver
+        # threads (two sections share e.g. the sigs table)
         self._read_cache: dict[str, DataFrame | None] = {}
+        import threading
+
+        self._read_lock = threading.Lock()
 
     def _kb_expr(self, cols: list[str]):
         """The state-bucket of a key: stable hash of the key columns mod
@@ -248,9 +253,10 @@ class IncrementalNearDup:
         partition columns — the filter prunes directories, not rows)."""
         if not kbs:
             return None
-        if path not in self._read_cache:
-            self._read_cache[path] = _read_optional(spark, path)
-        hist = self._read_cache[path]
+        with self._read_lock:
+            if path not in self._read_cache:
+                self._read_cache[path] = _read_optional(spark, path)
+            hist = self._read_cache[path]
         if hist is None:
             return None
         return hist.filter(
@@ -530,9 +536,6 @@ class IncrementalNearDup:
 
         null_jac = F.lit(None).cast("double").alias("jaccard_est")
         null_ham = F.lit(None).cast("int").alias("hamming")
-        pair_parts: list[DataFrame] = []
-        metric_rows: list[tuple] = []
-        state_writes: list[tuple[DataFrame, str, list[str]]] = []
 
         # the flags section needs the batch ids' state buckets (a tiny
         # distinct-collect over a checkpointed signature table); kick it
@@ -540,17 +543,33 @@ class IncrementalNearDup:
         # audio sigs > embedding sigs, mirroring the flags fallback
         # below) is materialized, so it overlaps the per-family
         # verification collects instead of serializing after them
+        import threading
         from concurrent.futures import ThreadPoolExecutor
 
         kbs_pool = ThreadPoolExecutor(max_workers=1)
         fut_kbs = None
+        kbs_lock = threading.Lock()
 
         def _kick_kbs(ids_df: DataFrame) -> None:
             nonlocal fut_kbs
-            if fut_kbs is None:
-                fut_kbs = kbs_pool.submit(self._bucket_ids, ids_df, [idc])
+            with kbs_lock:
+                if fut_kbs is None:
+                    fut_kbs = kbs_pool.submit(self._bucket_ids, ids_df, [idc])
 
-        if "minhash" in self.families:
+        # each family section is an independent sub-DAG (2-3 driver
+        # actions: sizing agg, verification-bucket collect, decode
+        # counters) sharing only the materialized signature checkpoint;
+        # sections run on driver threads when several families are
+        # configured, so their actions interleave across the executor
+        # slots instead of serializing. Each returns LOCAL
+        # (pair_parts, metric_rows, state_writes) lists merged in
+        # canonical family order to keep outputs deterministic.
+        Section = tuple[list, list, list]
+
+        def _sec_minhash() -> Section:
+            parts: list[DataFrame] = []
+            mrows: list[tuple] = []
+            writes: list[tuple] = []
             new_bands = lsh_bands(
                 sig, idc, bands=self.bands, rows_per_band=self.rows_per_band
             ).localCheckpoint(eager=False)
@@ -558,8 +577,8 @@ class IncrementalNearDup:
                 spark, new_bands, ["band", "key"], self.bands_path, batch_id
             )
             _kick_kbs(sig.select(idc))
-            metric_rows.append(("minhash", *m))
-            state_writes.append((new_bands, self.bands_path, ["band", "key"]))
+            mrows.append(("minhash", *m))
+            writes.append((new_bands, self.bands_path, ["band", "key"]))
             vals = sig.select(idc, F.col("sig").alias("_v"))
             hvals = self._hist_vals(spark, cross, batch_id, "sig")
             for cand, is_cross, kind in ((within, False, "within"),
@@ -571,14 +590,18 @@ class IncrementalNearDup:
                     .withColumnRenamed("_va", "_sa")
                     .withColumnRenamed("_vb", "_sb")
                 )
-                pair_parts.append(
+                parts.append(
                     ok.select("id_a", "id_b", "jaccard_est", null_ham,
                               F.lit(kind).alias("kind"))
                 )
+            return parts, mrows, writes
 
-        if "simhash" in self.families:
+        def _sec_simhash() -> Section:
             from cc_net_spark.operators.simhash import _band_exprs
 
+            parts: list[DataFrame] = []
+            mrows: list[tuple] = []
+            writes: list[tuple] = []
             simbands = (
                 sig.select(
                     idc, "simhash",
@@ -591,8 +614,8 @@ class IncrementalNearDup:
                 spark, simbands, ["band", "key"], self.simbands_path, batch_id
             )
             _kick_kbs(sig.select(idc))
-            metric_rows.append(("simhash", *m))
-            state_writes.append((simbands, self.simbands_path, ["band", "key"]))
+            mrows.append(("simhash", *m))
+            writes.append((simbands, self.simbands_path, ["band", "key"]))
             vals = sig.select(idc, F.col("simhash").alias("_v"))
             hvals = self._hist_vals(spark, cross, batch_id, "simhash")
             ham = F.bit_count(F.col("_va").bitwiseXOR(F.col("_vb")))
@@ -605,12 +628,13 @@ class IncrementalNearDup:
                     .withColumn("hamming", ham.cast("int"))
                     .filter(F.col("hamming") <= self.max_hamming)
                 )
-                pair_parts.append(
+                parts.append(
                     ok.select("id_a", "id_b", null_jac, "hamming",
                               F.lit(kind).alias("kind"))
                 )
+            return parts, mrows, writes
 
-        if "exact" in self.families:
+        def _sec_exact() -> Section:
             # the exact family is CAP-FREE: key equality fully determines
             # the cluster, so no pairwise enumeration is needed — each
             # dup is paired with its KEEP-FIRST representative (min id in
@@ -618,6 +642,9 @@ class IncrementalNearDup:
             # identical texts costs O(N), and — unlike an LSH family —
             # every copy is flagged (the cap rationale "boilerplate that
             # exact dedup handles" must not apply to exact dedup itself).
+            parts: list[DataFrame] = []
+            mrows: list[tuple] = []
+            writes: list[tuple] = []
             tkeys = sig.select(idc, "tkey")
             within_rep = tkeys.groupBy("tkey").agg(F.min(idc).alias("_rep"))
             within = (
@@ -625,7 +652,7 @@ class IncrementalNearDup:
                 .filter(F.col(idc) != F.col("_rep"))
                 .select(F.col("_rep").alias("id_a"), F.col(idc).alias("id_b"))
             )
-            pair_parts.append(
+            parts.append(
                 within.select(
                     "id_a", "id_b",
                     F.lit(1.0).alias("jaccard_est"),
@@ -635,8 +662,8 @@ class IncrementalNearDup:
             )
             n_keys_row = within_rep.agg(F.count(F.lit(1))).first()
             _kick_kbs(sig.select(idc))
-            metric_rows.append(("exact", int(n_keys_row[0] or 0), 0, 0))
-            state_writes.append((tkeys, self.exactkeys_path, ["tkey"]))
+            mrows.append(("exact", int(n_keys_row[0] or 0), 0, 0))
+            writes.append((tkeys, self.exactkeys_path, ["tkey"]))
             # history probe over the tkey-bucketed exactkeys state: the
             # read prunes to the batch's tkey buckets, the broadcast
             # semijoin then narrows to exactly the batch's keys — the
@@ -658,7 +685,7 @@ class IncrementalNearDup:
                     .filter(F.col(idc) != F.col("_hrep"))
                     .select(F.col(idc).alias("id_a"), F.col("_hrep").alias("id_b"))
                 )
-                pair_parts.append(
+                parts.append(
                     cross.select(
                         "id_a", "id_b",
                         F.lit(1.0).alias("jaccard_est"),
@@ -666,10 +693,14 @@ class IncrementalNearDup:
                         F.lit("exact_history").alias("kind"),
                     )
                 )
+            return parts, mrows, writes
 
-        if "audio" in self.families:
+        def _sec_audio() -> Section:
             from cc_net_spark.multimodal.audio import audio_signatures
 
+            parts: list[DataFrame] = []
+            mrows: list[tuple] = []
+            writes: list[tuple] = []
             # one decode pass -> per-clip (decode_ok, words, sketch);
             # the compact one-row-per-clip table IS the persisted state.
             # Undecodable clips (poison records) are counted, not raised
@@ -679,7 +710,7 @@ class IncrementalNearDup:
             if not need_text:
                 _kick_kbs(asig_all.select(idc))
             if n_bad:
-                metric_rows.append(("audio_decode_failures", n_bad, 0, 0))
+                mrows.append(("audio_decode_failures", n_bad, 0, 0))
             asig = asig_all.filter(F.col("decode_ok"))
             # the exploded (id, word) rows are their own word-bucketed
             # state table — the probe prunes on word buckets, which a
@@ -688,9 +719,9 @@ class IncrementalNearDup:
             within, cross, m = self._family_candidates(
                 spark, awords, ["word"], self.audiowords_path, batch_id
             )
-            metric_rows.append(("audio", *m))
-            state_writes.append((awords, self.audiowords_path, ["word"]))
-            state_writes.append((asig_all, self.audiosigs_path, [idc]))
+            mrows.append(("audio", *m))
+            writes.append((awords, self.audiowords_path, ["word"]))
+            writes.append((asig_all, self.audiosigs_path, [idc]))
             hist_asig = None
             if cross is not None:
                 hist_asig = self._hist_by_id(
@@ -744,12 +775,12 @@ class IncrementalNearDup:
                 )
             if audio_parts and self.audio_exact_verify:
                 audio_parts = [
-                    self._audio_snr_stage(spark, audio_parts, batch, metric_rows)
+                    self._audio_snr_stage(spark, audio_parts, batch, mrows)
                 ]
-            pair_parts.extend(audio_parts)
+            parts.extend(audio_parts)
+            return parts, mrows, writes
 
-        esig = None
-        if "embedding" in self.families:
+        def _sec_embedding() -> Section:
             from cc_net_spark.operators.ann import (
                 hyperplane_bands,
                 hyperplane_signatures,
@@ -762,6 +793,9 @@ class IncrementalNearDup:
             # a vector with null elements would crash the Arrow kernel's
             # dense matmul; such rows are dropped from the family and
             # metered, while still receiving a (non-dup) flag row
+            parts: list[DataFrame] = []
+            mrows: list[tuple] = []
+            writes: list[tuple] = []
             vcol = F.col(self.emb_col)
             valid = (
                 vcol.isNotNull()
@@ -772,7 +806,7 @@ class IncrementalNearDup:
             bad_ids = src.filter(~valid).select(idc).localCheckpoint(eager=False)
             n_bad = bad_ids.count()
             if n_bad:
-                metric_rows.append(("embedding_invalid_vectors", n_bad, 0, 0))
+                mrows.append(("embedding_invalid_vectors", n_bad, 0, 0))
             # one Arrow pass computes the sign-bit signature AND carries
             # the float64 vector through (keep_vec) — the (sig, vector)
             # row IS the persisted state, so history vectors are never
@@ -799,9 +833,9 @@ class IncrementalNearDup:
             )
             if sig is None and "audio" not in self.families:
                 _kick_kbs(esig.select(idc).unionByName(bad_ids))
-            metric_rows.append(("embedding", *m))
-            state_writes.append((ebands, self.embbands_path, ["band", "key"]))
-            state_writes.append((esig, self.embsigs_path, [idc]))
+            mrows.append(("embedding", *m))
+            writes.append((ebands, self.embbands_path, ["band", "key"]))
+            writes.append((esig, self.embsigs_path, [idc]))
             vals = esig.select(idc, F.col("v").alias("_v"))
             hvals = self._hist_vals(
                 spark, cross, batch_id, "v", path=self.embsigs_path
@@ -821,10 +855,57 @@ class IncrementalNearDup:
                     .withColumn("jaccard_est", cos)
                     .filter(F.col("jaccard_est") >= self.emb_threshold)
                 )
-                pair_parts.append(
+                parts.append(
                     ok.select("id_a", "id_b", "jaccard_est", null_ham,
                               F.lit(kind).alias("kind"))
                 )
+            return parts, mrows, writes
+
+        sections: list[tuple[str, object]] = []
+        if "minhash" in self.families:
+            sections.append(("minhash", _sec_minhash))
+        if "simhash" in self.families:
+            sections.append(("simhash", _sec_simhash))
+        if "exact" in self.families:
+            sections.append(("exact", _sec_exact))
+        if "audio" in self.families:
+            sections.append(("audio", _sec_audio))
+        if "embedding" in self.families:
+            sections.append(("embedding", _sec_embedding))
+
+        if len(sections) == 1:
+            results = [sections[0][1]()]
+        else:
+            # independent sub-DAGs run concurrently from driver threads:
+            # their sizing/verify actions interleave across the executor
+            # slots (the audio decode pass overlaps the text families).
+            # When several TEXT families share the lazy signature
+            # checkpoint, materialize it ONCE up front — two concurrent
+            # jobs racing an unmaterialized local checkpoint would
+            # compute (and on a multi-executor cluster, cache) it twice;
+            # the non-text sections are submitted first so they overlap
+            # that materialization.
+            with ThreadPoolExecutor(max_workers=len(sections)) as sec_pool:
+                futs: dict[str, object] = {}
+                for name, fn in sections:
+                    if name in ("audio", "embedding"):
+                        futs[name] = sec_pool.submit(fn)
+                n_text = len(sections) - len(futs)
+                if n_text > 1:
+                    sig.count()  # materialize the shared checkpoint
+                for name, fn in sections:
+                    if name not in futs:
+                        futs[name] = sec_pool.submit(fn)
+                # merged in canonical family order -> deterministic output
+                results = [futs[name].result() for name, _ in sections]
+
+        pair_parts: list[DataFrame] = []
+        metric_rows: list[tuple] = []
+        state_writes: list[tuple[DataFrame, str, list[str]]] = []
+        for parts_, mrows_, writes_ in results:
+            pair_parts.extend(parts_)
+            metric_rows.extend(mrows_)
+            state_writes.extend(writes_)
 
         pairs = pair_parts[0]
         for part in pair_parts[1:]:
