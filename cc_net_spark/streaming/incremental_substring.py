@@ -108,8 +108,12 @@ def incremental_substring_pass(
 
     def build_pairs(spark: SparkSession, **gram_dfs: DataFrame):
         union = reduce(DataFrame.unionByName, gram_dfs.values())
+        # (gram, id) unique by construction: doc_window_grams winnows or
+        # np.unique's per doc, and the per-shard gram stages partition
+        # the id space -> the union is still one row per (gram, id)
         pairs, m = candidate_pairs(
-            union, ["gram"], id_col, bucket_cap=gram_cap, with_metrics=True
+            union, ["gram"], id_col, bucket_cap=gram_cap,
+            with_metrics=True, assume_unique=True,
         )
         return pairs, {
             "n_buckets": m.n_buckets,
