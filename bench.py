@@ -251,13 +251,17 @@ def cluster_job(
 
     fused=True unions the four pair families into one edges job — the
     highest-throughput shape on one saturated box (branch tasks pack the
-    idle IO/JVM gaps). fused=False materializes each family sequentially —
-    measured per-family at 120k clips/8 cores the sequential sum (60.5 s)
-    beats the fused union (86.3 s) because co-scheduled python-UDF branches
-    contend for the same local cores; on a real multi-executor cluster the
-    branches land on DIFFERENT executors, so the sequential shape is the
-    faithful single-box proxy for multi-executor scaling and is what the
-    scaling legs run."""
+    idle IO/JVM gaps; measured equal to staged-parallel at 32 cores).
+    fused=False materializes each family as its own resumable stage —
+    what the scaling legs run — with stage-level concurrency AUTO-TUNED
+    to the available slots (min(4, cores//2), override via
+    SPARK_GRAFT_STAGE_PARALLEL): the four pair stages are independent
+    given the signatures table, and running them concurrently packs the
+    scheduling/IO gaps exactly the way a multi-executor cluster packs
+    branches onto different executors. Measured at 60k clips: 8-core leg
+    52 s sequential -> 29 s at parallel=4; at 2 cores concurrency only
+    adds scheduling overhead (74 -> 84 s), so the auto-tune keeps that
+    leg sequential."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -273,8 +277,11 @@ def cluster_job(
             # (signature-estimated Jaccard verify, ~5x smaller signatures
             # table — pipeline.py): A/B knob for the scaling study
             keep_shingles=os.environ.get("SPARK_GRAFT_KEEP_SHINGLES", "1") == "1",
-            # >1 overlaps the independent pair-family stages (A/B knob)
-            max_parallel_stages=int(os.environ.get("SPARK_GRAFT_STAGE_PARALLEL", "1")),
+            # stage concurrency: slot-proportional auto-tune (see
+            # docstring); env var overrides for A/B studies
+            max_parallel_stages=int(
+                os.environ.get("SPARK_GRAFT_STAGE_PARALLEL", "0")
+            ) or max(1, min(4, spark.sparkContext.defaultParallelism // 2)),
         )
         clusters, _ = run_near_dup_pipeline(spark, clips_path, workdir, cfg)
         return clusters.count()
