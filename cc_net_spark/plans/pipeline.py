@@ -99,7 +99,11 @@ def build_stages(
     idc, txt = cfg.id_col, cfg.text_col
 
     def load_clips(spark: SparkSession) -> DataFrame:
-        # explicit projection => Parquet never reads the audio payload
+        # explicit projection => Parquet never reads the audio payload.
+        # CONTRACT: the clips table's id column is a key (input_hint
+        # schema) — one row per clip_id. The pair stages' assume_unique
+        # paths count on it; a corpus with repeated ids must be deduped
+        # upstream (the incremental handler does so per batch).
         return spark.read.parquet(clips_path).select(idc, txt)
 
     def stage_exact_hashes(spark: SparkSession) -> DataFrame:
@@ -165,8 +169,12 @@ def build_stages(
         return pairs, {"pairgen": metrics.__dict__}
 
     def stage_substring_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+        # grams are np.unique/winnowed per doc and signatures is one row
+        # per id -> (gram, id) unique by construction
         grams = signatures.select(idc, F.explode("grams").alias("gram"))
-        return candidate_pairs(grams, ["gram"], idc, bucket_cap=cfg.gram_cap)
+        return candidate_pairs(
+            grams, ["gram"], idc, bucket_cap=cfg.gram_cap, assume_unique=True
+        )
 
     def stage_audio_pairs(spark: SparkSession):
         # the ONLY stage that reads the audio payload; returns

@@ -253,9 +253,18 @@ class IncrementalNearDup:
         partition columns — the filter prunes directories, not rows)."""
         if not kbs:
             return None
+        # lock guards only the dict — the listing/schema-inference runs
+        # outside it, so concurrent family sections opening DIFFERENT
+        # state tables don't serialize (two threads racing the SAME
+        # uncached path at worst duplicate one cheap listing; first
+        # write wins via setdefault)
         with self._read_lock:
-            if path not in self._read_cache:
-                self._read_cache[path] = _read_optional(spark, path)
+            hit = path in self._read_cache
+        if not hit:
+            val = _read_optional(spark, path)
+            with self._read_lock:
+                self._read_cache.setdefault(path, val)
+        with self._read_lock:
             hist = self._read_cache[path]
         if hist is None:
             return None
@@ -546,15 +555,26 @@ class IncrementalNearDup:
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
-        kbs_pool = ThreadPoolExecutor(max_workers=1)
-        fut_kbs = None
+        # a plain daemon thread, not an executor: it dies on its own, so
+        # an exception anywhere in the batch can't leak a worker thread
+        kbs_result: dict = {}
+        kbs_thread: threading.Thread | None = None
         kbs_lock = threading.Lock()
 
         def _kick_kbs(ids_df: DataFrame) -> None:
-            nonlocal fut_kbs
+            nonlocal kbs_thread
             with kbs_lock:
-                if fut_kbs is None:
-                    fut_kbs = kbs_pool.submit(self._bucket_ids, ids_df, [idc])
+                if kbs_thread is not None:
+                    return
+
+                def _run() -> None:
+                    try:
+                        kbs_result["kbs"] = self._bucket_ids(ids_df, [idc])
+                    except BaseException as e:  # re-raised on join
+                        kbs_result["err"] = e
+
+                kbs_thread = threading.Thread(target=_run, daemon=True)
+                kbs_thread.start()
 
         # each family section is an independent sub-DAG (2-3 driver
         # actions: sizing agg, verification-bucket collect, decode
@@ -940,9 +960,11 @@ class IncrementalNearDup:
         # tables (sig / asig_all / esig + its dropped ids) on a driver
         # thread kicked inside the family sections — by now the collect
         # has been overlapping the verification work; just join it
-        assert fut_kbs is not None  # families is a non-empty subset
-        batch_kbs = fut_kbs.result()
-        kbs_pool.shutdown()
+        assert kbs_thread is not None  # families is a non-empty subset
+        kbs_thread.join()
+        if "err" in kbs_result:
+            raise kbs_result["err"]
+        batch_kbs = kbs_result["kbs"]
         redeliv_paths = []
         if need_text:
             redeliv_paths.append((self.sigs_path, None))

@@ -108,12 +108,14 @@ def incremental_substring_pass(
 
     def build_pairs(spark: SparkSession, **gram_dfs: DataFrame):
         union = reduce(DataFrame.unionByName, gram_dfs.values())
-        # (gram, id) unique by construction: doc_window_grams winnows or
-        # np.unique's per doc, and the per-shard gram stages partition
-        # the id space -> the union is still one row per (gram, id)
+        # per-shard gram tables are unique per (gram, id), but the UNION
+        # is not structurally so: a doc re-delivered/rewritten into a
+        # later shard appears twice, and duplicate rows would inflate
+        # bucket sizes across the cap boundary — keep the defensive
+        # dedup here (unlike the one-scan pipeline, whose signatures
+        # table is keyed)
         pairs, m = candidate_pairs(
-            union, ["gram"], id_col, bucket_cap=gram_cap,
-            with_metrics=True, assume_unique=True,
+            union, ["gram"], id_col, bucket_cap=gram_cap, with_metrics=True
         )
         return pairs, {
             "n_buckets": m.n_buckets,

@@ -16,7 +16,11 @@ from pyspark.sql import SparkSession, functions as F
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1 and not sys.argv[1].isdigit()
+        else "/root/testdata/sf0.1"
+    )
     reps = int(sys.argv[-1]) if sys.argv[-1].isdigit() else 2
     spark = (
         SparkSession.builder.master("local[32]")
