@@ -1122,3 +1122,31 @@ def test_pointer_orphan_reclaimed_without_compaction(spark, tmp_path):
     assert not compact_state_pointer(spark, root, upto_batch=1, min_batches=99)
     assert not os.path.exists(live)  # orphan reclaimed despite no compaction
     assert os.path.exists(str(tmp_path / "root" / "v1" / "sigs"))
+
+
+def test_kbs_thread_error_propagates(spark, tmp_path, monkeypatch):
+    """The flags bucket-set collect runs on a daemon driver thread; a
+    failure there must fail the batch loudly on join (a swallowed error
+    would write flags from a missing bucket set), and the thread itself
+    must not outlive the batch."""
+    import pytest
+
+    nd = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out"))
+    boom = RuntimeError("bucket collect exploded")
+
+    orig = IncrementalNearDup._bucket_ids
+
+    def failing(self, df, cols):
+        # the flags collect is the only id-keyed _bucket_ids call in a
+        # fresh minhash-only batch 0 (no history to probe)
+        if cols == [self.id_col]:
+            raise boom
+        return orig(self, df, cols)
+
+    monkeypatch.setattr(IncrementalNearDup, "_bucket_ids", failing)
+    with pytest.raises(RuntimeError, match="bucket collect exploded"):
+        nd.process_batch(_batch(spark, [("a0", BASE), ("a1", OTHER)]), 0)
+    # the failed batch wrote no state (crash contract: state appends last)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "state" / "sigs"))
