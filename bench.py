@@ -182,22 +182,35 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
     """Subprocess entry: one isolated JVM per scaling leg (a stopped-and-
     restarted context in the same process measurably degrades later legs).
     A spin probe right before the timed job records the VM's deliverable
-    CPU for that window."""
+    CPU for that window.
+
+    Legs default to keep_shingles=0 — the extreme-scale configuration
+    (signature-estimated Jaccard verify; ~5x smaller signatures table)
+    that a 10^12-clip deployment would run; the headline keeps the
+    exact-Jaccard parity config. The leg's dup-pair recall vs the planted
+    oracle is verified UNTIMED and recorded, so the artifact proves the
+    measured configuration still clusters correctly."""
+    os.environ.setdefault("SPARK_GRAFT_KEEP_SHINGLES", "0")
     spin = spin_rate(cores)
     membw = membw_rate(cores)
     fused = os.environ.get("SPARK_GRAFT_LEG_FUSED", "0") == "1"
     spark = make_spark(cores)
+    workdir = tempfile.mkdtemp(prefix=f"bench_leg_{cores}_")
     try:
         warm_workers(spark, cores)
-        t, _ = timed(cluster_job, spark, clips_path, fused)
+        t, _ = timed(cluster_job, spark, clips_path, fused, workdir)
+        quality = cluster_quality(spark, workdir, n)
         t_ctl, _ = timed(control_job, spark)
     finally:
         spark.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps({
         "cores": cores, "seconds": round(t, 3), "n": n,
         "control_seconds": round(t_ctl, 3),
         "spin_ops_per_sec": round(spin),
         "membw_bytes_per_sec": round(membw),
+        "keep_shingles": os.environ["SPARK_GRAFT_KEEP_SHINGLES"] == "1",
+        "dup_pair_recall": quality["dup_pair_recall"],
     }))
 
 
@@ -341,8 +354,12 @@ def run_scaling(tmp: str) -> dict:
     try:
         from cc_net_spark.sources import synth
 
+        # 64 output files => the scan-split tuning (pipeline.tuned_scan_conf)
+        # has row-group granularity to balance tasks across both leg core
+        # counts (a file is unsplittable below its row groups)
         synth.generate_clips(
-            s0, N_SCALING, seed=42, with_audio=False, size_scale=SIZE_SCALE
+            s0, N_SCALING, seed=42, with_audio=False, size_scale=SIZE_SCALE,
+            partitions=64,
         ).write.mode("overwrite").parquet(scaling_path)
     finally:
         s0.stop()
@@ -381,6 +398,8 @@ def run_scaling(tmp: str) -> dict:
             "control_seconds": min(
                 l.get("control_seconds", float("inf")) for l in legs[cores]
             ),
+            "keep_shingles": b.get("keep_shingles"),
+            "dup_pair_recall": b.get("dup_pair_recall"),
         }
     ratio = scaling["hi"]["clips_per_sec"] / scaling["lo"]["clips_per_sec"]
     scaling["n_clips"] = N_SCALING

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,15 +63,23 @@ def candidate_pairs(
     b = bucketed.select(*bucket_cols, id_col, *carry)
     if not assume_unique:
         b = b.dropDuplicates([*bucket_cols, id_col])
-    sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
-    ok = sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= bucket_cap))
-    # shuffle-hash (build = the small qualifying-bucket side) instead of
-    # AQE's broadcast: the join then hash-partitions ``kept`` on the
-    # bucket cols, which the self-join below REUSES — no further exchange
-    # for either side (a broadcast join-back would leave ``kept``
-    # scan-partitioned and the self-join would shuffle it twice)
-    kept = b.join(
-        ok.select(*bucket_cols).hint("shuffle_hash"), bucket_cols, "inner"
+    # bucket sizes via a window count over the SAME shuffle the self-join
+    # needs: the bucket table is exchanged ONCE (hash-partitioned + sorted
+    # on the bucket cols by WindowExec), the size filter runs in place,
+    # and the self-join consumes both branches with no further exchange
+    # or sort (runtime: one ReusedExchange). The previous shape — groupBy
+    # sizes + a shuffle-hash join-back — shuffled the partially-aggregated
+    # sizes AND the bucket table (two exchanges of ~|bands| rows each).
+    # Trade-off: WindowExec buffers each bucket before the filter drops
+    # it (spilling via ExternalAppendOnlyUnsafeRowArray), so a monster
+    # boilerplate bucket costs one linear spill instead of being streamed
+    # past — acceptable (linear, disk-backed) vs the quadratic blow-up
+    # the cap exists to stop.
+    w = Window.partitionBy(*bucket_cols)
+    kept = (
+        b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= bucket_cap))
+        .drop("_bsz")
     )
 
     left = kept.select(
@@ -91,6 +99,10 @@ def candidate_pairs(
     pairs = pairs.select(*out_cols).distinct()
     if not with_metrics:
         return pairs
+    # drop-metrics need the over-cap buckets the window filter discarded:
+    # one separate groupBy over b (cheap — b derives from a materialized
+    # stage table, so this is a JVM-side re-scan, no UDF recompute)
+    sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
     m = sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("_bsz") > bucket_cap, 1).otherwise(0)).alias("dropped"),
@@ -146,13 +158,13 @@ def salted_candidate_pairs(
     b = bucketed.select(*bucket_cols, id_col, *carry)
     if not assume_unique:
         b = b.dropDuplicates([*bucket_cols, id_col])
-    all_sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
-    sizes = all_sizes
+    # window-count sizes over the self-join's own exchange (see
+    # candidate_pairs): one shuffle of the bucket table, reused by the
+    # cold self-join branches and the hot tiling
+    w = Window.partitionBy(*bucket_cols)
+    tagged = b.withColumn("_bsz", F.count(F.lit(1)).over(w))
     if bucket_cap is not None:
-        sizes = sizes.filter(F.col("_bsz") <= bucket_cap)
-    # shuffle-hash join-back (see candidate_pairs): partitions ``tagged``
-    # on the bucket cols so the cold self-join needs no further exchange
-    tagged = b.join(sizes.hint("shuffle_hash"), bucket_cols, "inner")
+        tagged = tagged.filter(F.col("_bsz") <= bucket_cap)
 
     out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
     cold = tagged.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= hot_threshold))
@@ -218,6 +230,9 @@ def salted_candidate_pairs(
     if not with_metrics:
         return pairs
     cap = bucket_cap if bucket_cap is not None else float("inf")
+    # metrics need the over-cap buckets the filter discarded (see
+    # candidate_pairs): a separate cheap groupBy over b
+    all_sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
     m = all_sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("_bsz") > cap, 1).otherwise(0)).alias("dropped"),

@@ -34,7 +34,8 @@ def main() -> None:
         spark = get_spark(app_name="profile_gen", master="local[32]")
         size_scale = int(os.environ.get("SPARK_GRAFT_SIZE_SCALE", "3"))
         synth.generate_clips(
-            spark, n, seed=42, with_audio=False, size_scale=size_scale
+            spark, n, seed=42, with_audio=False, size_scale=size_scale,
+            partitions=64,
         ).write.mode("overwrite").parquet(path)
         spark.stop()
         print(json.dumps({"generated": n, "path": path}))

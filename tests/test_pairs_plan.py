@@ -1,15 +1,16 @@
 """Plan-shape regression tests for the candidate-pair generators.
 
-The round-4 scaling work pinned a specific physical shape (measured
-~35-45% faster at both scaling legs, see operators/pairs.py):
+The round-4 scaling work pinned a specific physical shape (see
+operators/pairs.py):
 
 * ``assume_unique=True`` skips the defensive dropDuplicates shuffle for
   band tables that are one row per (bucket, id) by construction;
-* the sizes join-back is a SHUFFLE-HASH join (build = the small
-  qualifying-bucket side), so the kept rows come out hash-partitioned on
-  the bucket columns and the self-join consumes them with NO further
-  exchange (an AQE broadcast join-back would leave them scan-partitioned
-  and the self-join would shuffle both sides);
+* bucket sizes come from a WINDOW COUNT over the self-join's own
+  exchange — the bucket table is shuffled once (hash-partitioned +
+  sorted on the bucket cols by WindowExec), the size filter runs in
+  place, and the SortMergeJoin consumes both branches with NO further
+  exchange or sort (the earlier groupBy-sizes + shuffle-hash join-back
+  shape paid a second, partial-aggregated exchange);
 * at runtime AQE reuses the band-table exchange across the self-join's
   two branches (ReusedExchange), so the band rows are shuffled ONCE.
 
@@ -52,21 +53,21 @@ def test_candidate_pairs_plan_shape(spark):
         bands, ["band", "key"], "clip_id", bucket_cap=50, assume_unique=True
     )
     plan = _static_plan(pairs)
-    # the hinted join-back planned as shuffle-hash (not broadcast)
-    assert "ShuffledHashJoin" in plan, plan
-    # exactly 5 static exchanges: (b shuffle + sizes agg) x 2 self-join
-    # branches (deduped to one each by AQE ReusedExchange at runtime,
-    # asserted below) + the pair distinct. A 6th exchange means someone
-    # re-partitioned between the join-back and the self-join — the
+    # exactly 3 static exchanges: the band-table shuffle x 2 self-join
+    # branches (deduped to one by AQE ReusedExchange at runtime, asserted
+    # below) + the pair distinct. A 4th exchange means someone
+    # re-partitioned between the window filter and the self-join — the
     # regression this test exists to catch. Count is pinned to the
     # repo's Spark (4.1.x); revisit consciously on upgrade.
-    assert _n_exchanges(plan) == 5, plan
-    # both self-join branches plan an SHJ (the exact exchange count above
-    # then rules out a re-partition on either branch: any extra Exchange
-    # raises the count past 5)
+    assert _n_exchanges(plan) == 3, plan
     tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
-    assert len(re.findall("ShuffledHashJoin", tree)) == 2, tree
+    # sizes computed in place by a window over the join's own exchange
+    assert len(re.findall(r"Window \(\d+\)", tree)) == 2, tree
     assert "SortMergeJoin" in tree, tree
+    # the SMJ adds no sort of its own: the only sorts are WindowExec's
+    # (immediately above each exchange), so each branch reads
+    # ...SortMergeJoin <- Project <- Filter <- Window <- Sort <- Exchange
+    assert len(re.findall(r"Sort \(\d+\)", tree)) == 2, tree
     # assume_unique really removes a shuffle vs the defensive path
     dedup_pairs = candidate_pairs(
         bands, ["band", "key"], "clip_id", bucket_cap=50, assume_unique=False
@@ -94,7 +95,8 @@ def test_salted_candidate_pairs_plan_shape(spark):
         bands, ["band", "key"], "clip_id", hot_threshold=8, assume_unique=True
     )
     plan = _static_plan(pairs)
-    assert "ShuffledHashJoin" in plan, plan
+    # sizes come from a window, not a groupBy+join-back
+    assert re.search(r"Window \(\d+\)", plan), plan
     # identical output to the defensive path (uniqueness really holds here)
     base = salted_candidate_pairs(
         bands, ["band", "key"], "clip_id", hot_threshold=8, assume_unique=False
