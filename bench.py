@@ -49,10 +49,15 @@ SIZE_SCALE = int(os.environ.get("SPARK_GRAFT_SIZE_SCALE", "3"))
 def make_spark(cores: int) -> SparkSession:
     from cc_net_spark.session import get_spark
 
+    # SPARK_GRAFT_SHUFFLE_PARTS: A/B knob. 4-waves-per-slot (cores*4) was
+    # measured EQUAL to one-wave (max(8, cores)) at bench scale in a
+    # matched window (29.0 vs 29.3 s at 8 cores, 60k clips) — AQE
+    # coalescing already rebalances; keep the long-recorded default.
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0")) or max(8, cores)
     return get_spark(
         app_name=f"cc_net_spark_bench_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(8, cores),
+        shuffle_partitions=parts,
     )
 
 

@@ -16,6 +16,11 @@ DAG (each stage a checkpointed Parquet/Iceberg table, resumable):
          │                  artifact; paragraph granularity, so it scans clips)
          └────────────> edges (union) -> components (alt-star CC) -> clusters
 
+(default fold_edges=True: the union feeds CC directly — CC's round-0
+checkpoint already materializes the canonical edge set, so a separate
+edges table is a redundant second write of the same rows; see
+NearDupConfig.fold_edges)
+
 Skew handling: every pair generator runs through the capped bucket join
 (``operators/pairs.py``) with drop metrics recorded in the stage manifest;
 SimHash — whose pigeonhole bands are narrow by construction, so big
@@ -91,6 +96,18 @@ class NearDupConfig:
     # slots, overlapping the per-stage driver barriers (see
     # StageRunner.run). 1 keeps the fully sequential order.
     max_parallel_stages: int = 1
+    # staged mode only: skip the materialized 'edges' stage and feed the
+    # clusters stage the pair tables directly. The edges table's ONLY
+    # consumer is the distinct->CC step, and connected_components
+    # checkpoints the canonical edge set as its round-0 cut anyway — the
+    # staged edges parquet was a REDUNDANT second materialization of the
+    # same rows (at 10^12-clip scale, a full write+read of the edge set;
+    # locally, ~5 Spark jobs of serial barrier). Resume granularity is
+    # unchanged where it matters: the pair tables stay checkpoints, and
+    # edges are a cheap union of them. fused_pairs ignores this (its
+    # edges stage is the single materialization protecting CC's sizing
+    # count from recomputing all four pair families).
+    fold_edges: bool = True
 
 
 def build_stages(
@@ -210,18 +227,18 @@ def build_stages(
             edges = edges.unionByName(tag(audio_pairs, "audio"))
         return edges
 
-    def stage_clusters(spark: SparkSession, edges: DataFrame) -> DataFrame:
-        # the edges stage manifest already knows its row count (an upper
-        # bound on distinct canonical edges) — pass it down so the CC
-        # operator can skip its sizing count() job
-        edge_count = None
-        if workdir is not None:
-            import json as _json
-            from pathlib import Path as _Path
+    def _manifest_rows(stage_name: str) -> int | None:
+        if workdir is None:
+            return None
+        import json as _json
+        from pathlib import Path as _Path
 
-            mpath = _Path(workdir) / "_manifest" / "edges.json"
-            if mpath.exists():
-                edge_count = _json.loads(mpath.read_text())["rows"]
+        mpath = _Path(workdir) / "_manifest" / f"{stage_name}.json"
+        if mpath.exists():
+            return _json.loads(mpath.read_text())["rows"]
+        return None
+
+    def _cluster_edges(spark: SparkSession, edges: DataFrame, edge_count: int | None) -> DataFrame:
         comp = connected_components(
             edges.select("id_a", "id_b").distinct(),
             edge_count=edge_count,
@@ -229,6 +246,32 @@ def build_stages(
         )
         ids = load_clips(spark).select(idc)
         return assign_clusters(ids, comp, idc)
+
+    def stage_clusters(spark: SparkSession, edges: DataFrame) -> DataFrame:
+        # the edges stage manifest already knows its row count (an upper
+        # bound on distinct canonical edges) — pass it down so the CC
+        # operator can skip its sizing count() job
+        return _cluster_edges(spark, edges, _manifest_rows("edges"))
+
+    def stage_clusters_folded(
+        spark: SparkSession,
+        exact_pairs: DataFrame,
+        minhash_pairs: DataFrame,
+        simhash_pairs: DataFrame,
+        substring_pairs: DataFrame,
+        audio_pairs: DataFrame | None = None,
+    ) -> DataFrame:
+        # fold_edges: union the pair tables inline (no materialized edges
+        # stage — see NearDupConfig.fold_edges). The pair manifests' row
+        # sum is an upper bound on distinct canonical edges, so the CC
+        # sizing count() is still skipped when they are all known.
+        edges = stage_edges(
+            spark, exact_pairs, minhash_pairs, simhash_pairs, substring_pairs,
+            audio_pairs,
+        )
+        rows = [_manifest_rows(s) for s in edge_inputs]
+        edge_count = sum(rows) if all(r is not None for r in rows) else None
+        return _cluster_edges(spark, edges, edge_count)
 
     def dup_ratio(df: DataFrame) -> dict:
         agg = df.agg(
@@ -287,6 +330,28 @@ def build_stages(
         "exact_pairs", "minhash_pairs", "simhash_pairs", "substring_pairs",
         *(["audio_pairs"] if cfg.include_audio_pass else []),
     ]
+    tail = (
+        [
+            Stage(
+                "clusters",
+                stage_clusters_folded,
+                inputs=edge_inputs,
+                external_inputs=ext,
+                metrics_fn=metrics_fn,
+            )
+        ]
+        if cfg.fold_edges
+        else [
+            Stage("edges", stage_edges, inputs=edge_inputs),
+            Stage(
+                "clusters",
+                stage_clusters,
+                inputs=["edges"],
+                external_inputs=ext,
+                metrics_fn=metrics_fn,
+            ),
+        ]
+    )
     return [
         *head,
         Stage("signatures", stage_signatures, external_inputs=ext),
@@ -295,14 +360,7 @@ def build_stages(
         Stage("simhash_pairs", stage_simhash_pairs, inputs=["signatures"]),
         Stage("substring_pairs", stage_substring_pairs, inputs=["signatures"]),
         *audio_stages,
-        Stage("edges", stage_edges, inputs=edge_inputs),
-        Stage(
-            "clusters",
-            stage_clusters,
-            inputs=["edges"],
-            external_inputs=ext,
-            metrics_fn=metrics_fn,
-        ),
+        *tail,
     ]
 
 

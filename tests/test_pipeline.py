@@ -113,6 +113,38 @@ def test_fused_pipeline_matches_staged(spark, clips_path, tmp_path):
     assert set(m) == {"signatures", "edges", "clusters"}
 
 
+def test_fold_edges_matches_materialized_edges(spark, clips_path, tmp_path):
+    """fold_edges=True (default) feeds the pair tables straight into CC;
+    it must produce exactly the clusters of the materialized-edges shape,
+    write NO edges table, and still skip CC's sizing count (edge_count
+    from the pair-stage manifests)."""
+    from dataclasses import replace
+    from pathlib import Path
+
+    folded_work = tmp_path / "wfold"
+    folded, mf = run_near_dup_pipeline(spark, clips_path, str(folded_work), CFG)
+    unfolded, mu = run_near_dup_pipeline(
+        spark, clips_path, str(tmp_path / "wunfold"), replace(CFG, fold_edges=False)
+    )
+    a = {r["clip_id"]: r["cluster_id"] for r in folded.collect()}
+    b = {r["clip_id"]: r["cluster_id"] for r in unfolded.collect()}
+    assert a == b
+    assert "edges" not in mf and not (folded_work / "edges").exists()
+    assert "edges" in mu
+    # the folded clusters manifest carries the pair-stage lineage directly
+    assert set(mf["clusters"]["input_fingerprints"]) == {
+        "exact_pairs", "minhash_pairs", "simhash_pairs", "substring_pairs",
+    }
+    # edge_count plumbing: pair manifests exist before clusters runs, and
+    # their row sum is below the driver threshold here, so CC must have
+    # taken the driver union-find path (which only triggers with a known
+    # count or a sizing job; either way output parity above is the gate)
+    assert all(
+        Path(folded_work, "_manifest", f"{s}.json").exists()
+        for s in ("exact_pairs", "minhash_pairs", "simhash_pairs", "substring_pairs")
+    )
+
+
 def test_external_input_change_invalidates_stage(spark, tmp_path):
     """A stage reading an external path re-runs when that data changes,
     even though no upstream *stage* changed (round-1 gap: silent stale
