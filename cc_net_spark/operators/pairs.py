@@ -30,6 +30,38 @@ class PairGenMetrics:
     n_rows_dropped: int
 
 
+def _observed_metrics(tagged: DataFrame, cap) -> tuple[DataFrame, "object"]:
+    """Attach an Observation computing the drop metrics INSIDE the main
+    action (zero extra jobs, zero extra scans — the eager path re-scans
+    the band table with its own groupBy, which at corpus scale is a full
+    second read). Bucket counts ride the per-row rows as sum(1/_bsz):
+    each m-row bucket contributes m * (1/m) = 1 +- a few ulps, so the
+    rounded total is exact for any real bucket census (error ~1e-12 per
+    bucket). Returns (tagged-with-observe, resolve) where ``resolve()``
+    must be called AFTER an action has run over the returned frame."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    inv = F.lit(1.0) / F.col("_bsz")
+    over = F.col("_bsz") > cap if cap is not None else F.lit(False)
+    tagged = tagged.observe(
+        obs,
+        F.coalesce(F.sum(inv), F.lit(0.0)).alias("_nb"),
+        F.coalesce(F.sum(F.when(over, inv)), F.lit(0.0)).alias("_nbd"),
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)).alias("_nrd"),
+    )
+
+    def resolve() -> PairGenMetrics:
+        got = obs.get
+        return PairGenMetrics(
+            n_buckets=round(got["_nb"]),
+            n_buckets_dropped=round(got["_nbd"]),
+            n_rows_dropped=int(got["_nrd"]),
+        )
+
+    return tagged, resolve
+
+
 def candidate_pairs(
     bucketed: DataFrame,
     bucket_cols: list[str],
@@ -58,6 +90,15 @@ def candidate_pairs(
     ``assume_unique``: promise that ``bucketed`` already holds one row
     per (bucket, id) — true by construction for LSH band tables — which
     skips the defensive dropDuplicates shuffle.
+
+    ``with_metrics="observe"``: the drop metrics are computed INSIDE the
+    caller's own action via an Observation on the window-tagged rows
+    (verified single-counted even though the self-join consumes that node
+    twice) — zero extra jobs and zero extra scans, vs the eager ``True``
+    mode whose separate groupBy re-reads the band table (a full second
+    pass at corpus scale). Returns ``(pairs, resolve)`` where
+    ``resolve()`` yields the PairGenMetrics and must be called after an
+    action has run over ``pairs``.
     """
     carry = carry or []
     b = bucketed.select(*bucket_cols, id_col, *carry)
@@ -76,8 +117,12 @@ def candidate_pairs(
     # past — acceptable (linear, disk-backed) vs the quadratic blow-up
     # the cap exists to stop.
     w = Window.partitionBy(*bucket_cols)
+    tagged = b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    resolve = None
+    if with_metrics == "observe":
+        tagged, resolve = _observed_metrics(tagged, bucket_cap)
     kept = (
-        b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        tagged
         .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= bucket_cap))
         .drop("_bsz")
     )
@@ -99,6 +144,8 @@ def candidate_pairs(
     pairs = pairs.select(*out_cols).distinct()
     if not with_metrics:
         return pairs
+    if with_metrics == "observe":
+        return pairs, resolve
     # drop-metrics need the over-cap buckets the window filter discarded:
     # one separate groupBy over b (cheap — b derives from a materialized
     # stage table, so this is a JVM-side re-scan, no UDF recompute)
@@ -163,6 +210,11 @@ def salted_candidate_pairs(
     # cold self-join branches and the hot tiling
     w = Window.partitionBy(*bucket_cols)
     tagged = b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    resolve = None
+    if with_metrics == "observe":
+        # observe BEFORE the cap filter so dropped buckets are counted
+        # (same zero-extra-pass contract as candidate_pairs)
+        tagged, resolve = _observed_metrics(tagged, bucket_cap)
     if bucket_cap is not None:
         tagged = tagged.filter(F.col("_bsz") <= bucket_cap)
 
@@ -229,6 +281,8 @@ def salted_candidate_pairs(
     pairs = cold_pairs.unionByName(hot_pairs).distinct()
     if not with_metrics:
         return pairs
+    if with_metrics == "observe":
+        return pairs, resolve
     cap = bucket_cap if bucket_cap is not None else float("inf")
     # metrics need the over-cap buckets the filter discarded (see
     # candidate_pairs): a separate cheap groupBy over b

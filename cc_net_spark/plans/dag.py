@@ -347,6 +347,11 @@ class StageRunner:
             os.rename(tmp, final)
             # rows + per-partition records from footers: zero Spark jobs
             n_rows, partitions = _scan_parquet_dir(final)
+        # observe-mode metrics (operators/pairs._observed_metrics) are
+        # callables resolvable only after the write action above ran
+        build_metrics = {
+            k: (v() if callable(v) else v) for k, v in build_metrics.items()
+        }
         extra = st.metrics_fn(self.load(st.name)) if st.metrics_fn else {}
         extra = {**build_metrics, **extra}
         manifest = {

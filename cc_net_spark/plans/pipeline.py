@@ -175,15 +175,17 @@ def build_stages(
         # holds |matches| rows instead of |candidates| (measured 3.4M
         # candidates -> ~2% matches on the bench corpus) and the two
         # verify join-backs disappear
-        pairs, metrics = sh.simhash_candidate_pairs(
+        # with_metrics="observe": drop counters computed inside the stage
+        # write itself (no second scan of the band table, no extra job)
+        pairs, resolve = sh.simhash_candidate_pairs(
             signatures.select(idc, "simhash"), idc,
             max_hamming=cfg.max_hamming,
             bucket_cap=max(2, cfg.bucket_cap // 4),
             drop_above=cfg.bucket_cap,
-            with_metrics=True,
+            with_metrics="observe",
             inline_verify=True,
         )
-        return pairs, {"pairgen": metrics.__dict__}
+        return pairs, {"pairgen": lambda: resolve().__dict__}
 
     def stage_substring_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
         # grams are np.unique/winnowed per doc and signatures is one row

@@ -174,6 +174,44 @@ def test_candidate_pairs_bucket_cap(spark):
     assert metrics.n_rows_dropped == 30
 
 
+def test_observe_metrics_match_eager(spark):
+    """with_metrics='observe' (metrics computed inside the caller's own
+    action — no second scan) must report exactly the eager groupBy
+    numbers, for both the capped and the salted generator, even though
+    the observed node is consumed by multiple self-join branches."""
+    from cc_net_spark.operators.pairs import salted_candidate_pairs
+
+    rows = (
+        [("hot", f"id{i:02d}") for i in range(30)]
+        + [("warm", f"w{i}") for i in range(8)]
+        + [("ok", "a"), ("ok", "b"), ("solo", "s")]
+    )
+    df = spark.createDataFrame(rows, "key string, clip_id string")
+
+    eager_p, eager_m = candidate_pairs(
+        df, ["key"], "clip_id", bucket_cap=10, with_metrics=True
+    )
+    obs_p, resolve = candidate_pairs(
+        df, ["key"], "clip_id", bucket_cap=10, with_metrics="observe"
+    )
+    obs_rows = {(r["id_a"], r["id_b"]) for r in obs_p.collect()}
+    assert obs_rows == {(r["id_a"], r["id_b"]) for r in eager_p.collect()}
+    assert resolve().__dict__ == eager_m.__dict__
+
+    eager_p2, eager_m2 = salted_candidate_pairs(
+        df, ["key"], "clip_id", hot_threshold=5, n_salts=4, bucket_cap=10,
+        with_metrics=True,
+    )
+    obs_p2, resolve2 = salted_candidate_pairs(
+        df, ["key"], "clip_id", hot_threshold=5, n_salts=4, bucket_cap=10,
+        with_metrics="observe",
+    )
+    assert {(r["id_a"], r["id_b"]) for r in obs_p2.collect()} == {
+        (r["id_a"], r["id_b"]) for r in eager_p2.collect()
+    }
+    assert resolve2().__dict__ == eager_m2.__dict__
+
+
 class UnionFind:
     def __init__(self):
         self.p = {}
