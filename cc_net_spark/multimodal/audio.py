@@ -353,11 +353,19 @@ def audio_near_dup_pairs(
     from cc_net_spark.operators.pairs import candidate_pairs
 
     fp = audio_fingerprints(clips, id_col, frame=frame, bands=bands)
-    if with_metrics:
-        # the metrics aggregation is a second action over fp and must not
-        # re-decode every clip; localCheckpoint (not persist) so the
-        # cached blocks are reclaimed once the caller drops the DataFrame
-        # instead of leaking for the session lifetime
+    if with_metrics == "observe":
+        # metrics ride the caller's own action (pairs.py observe mode):
+        # no second action over fp, so no eager checkpoint barrier and no
+        # cached fingerprint table — the decode output streams straight
+        # into the candidate join's single exchange
+        cand, metrics = candidate_pairs(
+            fp, ["word"], id_col, bucket_cap=bucket_cap, with_metrics="observe"
+        )
+    elif with_metrics:
+        # the eager metrics aggregation is a second action over fp and
+        # must not re-decode every clip; localCheckpoint (not persist) so
+        # the cached blocks are reclaimed once the caller drops the
+        # DataFrame instead of leaking for the session lifetime
         fp = fp.localCheckpoint(eager=True)
         cand, metrics = candidate_pairs(
             fp, ["word"], id_col, bucket_cap=bucket_cap, with_metrics=True

@@ -194,7 +194,14 @@ def video_near_dup_pairs(
     from cc_net_spark.operators.pairs import candidate_pairs
 
     fp = video_fingerprints(videos, id_col, every=every)
-    if with_metrics:
+    if with_metrics == "observe":
+        # metrics inside the caller's action — no checkpoint barrier, no
+        # cached fingerprint table (see audio_near_dup_pairs)
+        cand, metrics = candidate_pairs(
+            fp, ["frame_idx", "fhash"], id_col, bucket_cap=bucket_cap,
+            with_metrics="observe",
+        )
+    elif with_metrics:
         # localCheckpoint, not persist: blocks reclaimed when the caller
         # drops the DataFrame (see audio_near_dup_pairs)
         fp = fp.localCheckpoint(eager=True)

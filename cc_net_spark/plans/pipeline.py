@@ -202,11 +202,11 @@ def build_stages(
         from cc_net_spark.multimodal.audio import audio_near_dup_pairs
 
         clips = spark.read.parquet(clips_path).select(idc, "codec", "bytes")
-        pairs, metrics = audio_near_dup_pairs(
+        pairs, resolve = audio_near_dup_pairs(
             clips, idc, bucket_cap=cfg.bucket_cap, min_snr_db=cfg.audio_min_snr_db,
-            with_metrics=True,
+            with_metrics="observe",
         )
-        return pairs.select("id_a", "id_b"), {"pairgen": metrics.__dict__}
+        return pairs.select("id_a", "id_b"), {"pairgen": lambda: resolve().__dict__}
 
     def stage_edges(
         spark: SparkSession,

@@ -114,14 +114,19 @@ def incremental_substring_pass(
         # bucket sizes across the cap boundary — keep the defensive
         # dedup here (unlike the one-scan pipeline, whose signatures
         # table is keyed)
-        pairs, m = candidate_pairs(
-            union, ["gram"], id_col, bucket_cap=gram_cap, with_metrics=True
+        pairs, resolve = candidate_pairs(
+            union, ["gram"], id_col, bucket_cap=gram_cap, with_metrics="observe"
         )
-        return pairs, {
-            "n_buckets": m.n_buckets,
-            "n_hot_buckets_dropped": m.n_buckets_dropped,
-            "n_hot_rows_dropped": m.n_rows_dropped,
-        }
+
+        def metrics() -> dict:
+            m = resolve()
+            return {
+                "n_buckets": m.n_buckets,
+                "n_hot_buckets_dropped": m.n_buckets_dropped,
+                "n_hot_rows_dropped": m.n_rows_dropped,
+            }
+
+        return pairs, {"pairgen": metrics}
 
     stages.append(Stage("substring_pairs", build_pairs, inputs=gram_names))
 
