@@ -30,12 +30,13 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", "20000"))
-# the scaling corpus is large enough to amortize the ~12 s fixed cost;
-# measured at both 60k and 120k the efficiency is the same (the
-# data-proportional bandwidth-flat component makes it corpus-size
-# invariant — BENCH/BASELINE.md), so the default keeps total bench
-# wall-clock bounded
-N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "60000"))
+# scaling corpus size: bigger input amortizes the core-count-invariant
+# job barriers (~30 Spark jobs of driver latency + stage commit/footer
+# costs) that Amdahl-cap the hi leg. Adjacent-window A/B this round:
+# 60k -> 0.561 raw 2->8 efficiency, 120k -> 0.614 on the same box state
+# (the round-3 "size-invariant" reading was taken across mismatched
+# throttle windows). 120k keeps the scaling block ~6-7 min.
+N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "120000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 # each scaling leg is measured this many times, legs interleaved
 # (lo,hi,lo,hi) so this VM's minute-scale CPU throttling can't land on
@@ -436,6 +437,15 @@ def run_scaling(tmp: str) -> dict:
     if ctl_lo and ctl_hi and ctl_hi > 0:
         scaling["control_efficiency"] = round(
             (ctl_lo / ctl_hi) / (hi_cores / lo_cores), 3
+        )
+        # fraction of the framework's own scaling ceiling the pipeline
+        # achieves: the control is the SAME Spark machinery (scheduler,
+        # python workers, Arrow, one shuffle) on a compute-bound kernel,
+        # so control_efficiency is the best any job of this shape can
+        # measure on this box, and raw/control isolates what the
+        # pipeline's plans add on top of the framework+box floor
+        scaling["efficiency_vs_control"] = round(
+            scaling["efficiency"] / scaling["control_efficiency"], 3
         )
     return scaling
 
