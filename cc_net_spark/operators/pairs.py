@@ -30,32 +30,72 @@ class PairGenMetrics:
     n_rows_dropped: int
 
 
-def _observed_metrics(tagged: DataFrame, cap) -> tuple[DataFrame, "object"]:
+def _eager_metrics(b: DataFrame, bucket_cols: list[str], cap) -> PairGenMetrics:
+    """One groupBy scan over the bucket table -> exact drop counters."""
+    eff = cap if cap is not None else float("inf")
+    sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    m = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("_bsz") > eff, 1).otherwise(0)).alias("dropped"),
+        F.sum(F.when(F.col("_bsz") > eff, F.col("_bsz")).otherwise(0)).alias(
+            "rows_dropped"
+        ),
+    ).collect()[0]
+    return PairGenMetrics(
+        n_buckets=m["n_buckets"] or 0,
+        n_buckets_dropped=m["dropped"] or 0,
+        n_rows_dropped=m["rows_dropped"] or 0,
+    )
+
+
+def _observed_metrics(
+    tagged: DataFrame, cap, id_col: str, w, fallback
+) -> tuple[DataFrame, "object"]:
     """Attach an Observation computing the drop metrics INSIDE the main
     action (zero extra jobs, zero extra scans — the eager path re-scans
     the band table with its own groupBy, which at corpus scale is a full
-    second read). Bucket counts ride the per-row rows as sum(1/_bsz):
-    each m-row bucket contributes m * (1/m) = 1 +- a few ulps, so the
-    rounded total is exact for any real bucket census (error ~1e-12 per
-    bucket). Returns (tagged-with-observe, resolve) where ``resolve()``
-    must be called AFTER an action has run over the returned frame."""
+    second read). Bucket counts are INTEGER-exact: each bucket is counted
+    on exactly one row via ``id == min(id) over bucket`` — min rides the
+    same unordered WindowExec that computes ``_bsz`` (no extra sort, no
+    extra exchange), and ids are unique within a bucket by the caller's
+    dedup/assume_unique contract.
+
+    Retry semantics: Observation metrics are accumulator-backed; a stage
+    re-attempt after shuffle-fetch failure can re-apply updates from
+    re-executed tasks, so counts can only OVER-state (never hide) drops.
+    The eager groupBy mode stays retry-exact — use it when auditing.
+
+    Returns (tagged-with-observe, resolve); ``resolve()`` must be called
+    AFTER an action has run over the returned frame."""
     from pyspark.sql import Observation
 
     obs = Observation()
-    inv = F.lit(1.0) / F.col("_bsz")
+    tagged = tagged.withColumn("_bmin", F.min(id_col).over(w))
+    first = F.col(id_col) == F.col("_bmin")
     over = F.col("_bsz") > cap if cap is not None else F.lit(False)
+    one_if = lambda c: F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))  # noqa: E731
     tagged = tagged.observe(
         obs,
-        F.coalesce(F.sum(inv), F.lit(0.0)).alias("_nb"),
-        F.coalesce(F.sum(F.when(over, inv)), F.lit(0.0)).alias("_nbd"),
-        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)).alias("_nrd"),
-    )
+        one_if(first).alias("_nb"),
+        one_if(first & over).alias("_nbd"),
+        one_if(over).alias("_nrd"),
+    ).drop("_bmin")
 
     def resolve() -> PairGenMetrics:
-        got = obs.get
+        try:
+            got = obs.get
+        except Exception:
+            # when the query's OUTPUT is empty, AQE's empty-relation
+            # propagation can prune the whole observed subtree — the
+            # observation row comes back schemaless and .get raises.
+            # Empty output can coincide with real drops (every bucket
+            # over cap), so silently reporting zeros would hide
+            # truncation: fall back to the eager one-job scan instead
+            # (rare case, exact counters).
+            return fallback()
         return PairGenMetrics(
-            n_buckets=round(got["_nb"]),
-            n_buckets_dropped=round(got["_nbd"]),
+            n_buckets=int(got["_nb"]),
+            n_buckets_dropped=int(got["_nbd"]),
             n_rows_dropped=int(got["_nrd"]),
         )
 
@@ -120,7 +160,10 @@ def candidate_pairs(
     tagged = b.withColumn("_bsz", F.count(F.lit(1)).over(w))
     resolve = None
     if with_metrics == "observe":
-        tagged, resolve = _observed_metrics(tagged, bucket_cap)
+        tagged, resolve = _observed_metrics(
+            tagged, bucket_cap, id_col, w,
+            lambda: _eager_metrics(b, bucket_cols, bucket_cap),
+        )
     kept = (
         tagged
         .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= bucket_cap))
@@ -149,19 +192,7 @@ def candidate_pairs(
     # drop-metrics need the over-cap buckets the window filter discarded:
     # one separate groupBy over b (cheap — b derives from a materialized
     # stage table, so this is a JVM-side re-scan, no UDF recompute)
-    sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
-    m = sizes.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(F.when(F.col("_bsz") > bucket_cap, 1).otherwise(0)).alias("dropped"),
-        F.sum(F.when(F.col("_bsz") > bucket_cap, F.col("_bsz")).otherwise(0)).alias(
-            "rows_dropped"
-        ),
-    ).collect()[0]
-    return pairs, PairGenMetrics(
-        n_buckets=m["n_buckets"] or 0,
-        n_buckets_dropped=m["dropped"] or 0,
-        n_rows_dropped=m["rows_dropped"] or 0,
-    )
+    return pairs, _eager_metrics(b, bucket_cols, bucket_cap)
 
 
 def salted_candidate_pairs(
@@ -214,7 +245,10 @@ def salted_candidate_pairs(
     if with_metrics == "observe":
         # observe BEFORE the cap filter so dropped buckets are counted
         # (same zero-extra-pass contract as candidate_pairs)
-        tagged, resolve = _observed_metrics(tagged, bucket_cap)
+        tagged, resolve = _observed_metrics(
+            tagged, bucket_cap, id_col, w,
+            lambda: _eager_metrics(b, bucket_cols, bucket_cap),
+        )
     if bucket_cap is not None:
         tagged = tagged.filter(F.col("_bsz") <= bucket_cap)
 
@@ -283,22 +317,9 @@ def salted_candidate_pairs(
         return pairs
     if with_metrics == "observe":
         return pairs, resolve
-    cap = bucket_cap if bucket_cap is not None else float("inf")
     # metrics need the over-cap buckets the filter discarded (see
     # candidate_pairs): a separate cheap groupBy over b
-    all_sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
-    m = all_sizes.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(F.when(F.col("_bsz") > cap, 1).otherwise(0)).alias("dropped"),
-        F.sum(F.when(F.col("_bsz") > cap, F.col("_bsz")).otherwise(0)).alias(
-            "rows_dropped"
-        ),
-    ).collect()[0]
-    return pairs, PairGenMetrics(
-        n_buckets=m["n_buckets"] or 0,
-        n_buckets_dropped=m["dropped"] or 0,
-        n_rows_dropped=m["rows_dropped"] or 0,
-    )
+    return pairs, _eager_metrics(b, bucket_cols, bucket_cap)
 
 
 def salted_bucket_sizes(bucketed: DataFrame, bucket_cols: list[str]) -> DataFrame:

@@ -117,16 +117,9 @@ def incremental_substring_pass(
         pairs, resolve = candidate_pairs(
             union, ["gram"], id_col, bucket_cap=gram_cap, with_metrics="observe"
         )
-
-        def metrics() -> dict:
-            m = resolve()
-            return {
-                "n_buckets": m.n_buckets,
-                "n_hot_buckets_dropped": m.n_buckets_dropped,
-                "n_hot_rows_dropped": m.n_rows_dropped,
-            }
-
-        return pairs, {"pairgen": metrics}
+        # standard PairGenMetrics keys under "pairgen", matching every
+        # other pair stage's manifest shape
+        return pairs, {"pairgen": lambda: resolve().__dict__}
 
     stages.append(Stage("substring_pairs", build_pairs, inputs=gram_names))
 

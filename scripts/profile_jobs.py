@@ -36,16 +36,22 @@ def _api(base: str, app_id: str, path: str):
 
 def main() -> None:
     cores, clips_path = int(sys.argv[1]), sys.argv[2]
+    # mirror the scaling leg's config exactly (bench.run_leg defaults
+    # keep_shingles to 0): a bare run must profile the plan the leg times
+    os.environ.setdefault("SPARK_GRAFT_KEEP_SHINGLES", "0")
     import bench
 
-    # the profiler needs the UI's REST API; bench.make_spark disables it
-    os.environ["SPARK_GRAFT_PROFILE_UI"] = "1"
     from cc_net_spark.session import get_spark
 
+    # get_spark defaults spark.ui.enabled=false; the profiler needs the
+    # UI's REST API, so extra_conf re-enables it. Shuffle partitions
+    # follow bench.make_spark (including the SPARK_GRAFT_SHUFFLE_PARTS
+    # A/B knob) so profiled plans match benched plans.
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0")) or max(8, cores)
     spark = get_spark(
         app_name="profile_jobs",
         master=f"local[{cores}]",
-        shuffle_partitions=max(8, cores),  # bench.make_spark parity
+        shuffle_partitions=parts,
         extra_conf={"spark.ui.enabled": "true"},
     )
     sc = spark.sparkContext

@@ -52,9 +52,9 @@ def main() -> None:
     cfg = NearDupConfig(
         jaccard_threshold=0.5, max_hamming=4,
         fused_pairs=False, include_exact_hashes=False,
-        # mirror the scaling leg's config knob so profiles attribute the
-        # same job the leg times (bench.run_leg defaults this to 0)
-        keep_shingles=os.environ.get("SPARK_GRAFT_KEEP_SHINGLES", "1") == "1",
+        # mirror the scaling leg's config so profiles attribute the same
+        # job the leg times (bench.run_leg defaults this to 0)
+        keep_shingles=os.environ.get("SPARK_GRAFT_KEEP_SHINGLES", "0") == "1",
     )
     out = []
     for _ in range(reps):

@@ -76,6 +76,13 @@ def test_image_drop_metrics_surface_on_hot_bucket(spark):
     assert metrics.n_buckets_dropped >= 1
     assert metrics.n_rows_dropped >= 31
     assert pairs.count() == 0  # everything was in the dropped bucket
+    # observe mode (metrics inside the caller's action, no fingerprint
+    # checkpoint) must report the same counters
+    pairs_o, resolve = im.image_near_dup_pairs(
+        hot, bucket_cap=10, with_metrics="observe"
+    )
+    assert pairs_o.count() == 0
+    assert resolve().__dict__ == metrics.__dict__
 
 
 def test_audio_drop_metrics_surface_on_hot_word(spark):

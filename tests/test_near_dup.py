@@ -211,6 +211,23 @@ def test_observe_metrics_match_eager(spark):
     }
     assert resolve2().__dict__ == eager_m2.__dict__
 
+    # ZERO-output case: every bucket over cap -> AQE empty-relation
+    # propagation prunes the observed subtree and Observation.get fails;
+    # resolve must fall back to the eager scan and still report the drops
+    # (empty output coinciding with real truncation is exactly when the
+    # counters matter most)
+    only_hot = spark.createDataFrame(
+        [("hot", f"id{i:02d}") for i in range(30)], "key string, clip_id string"
+    )
+    empty_p, resolve3 = candidate_pairs(
+        only_hot, ["key"], "clip_id", bucket_cap=10, with_metrics="observe"
+    )
+    assert empty_p.count() == 0
+    m3 = resolve3()
+    assert m3.n_buckets == 1
+    assert m3.n_buckets_dropped == 1
+    assert m3.n_rows_dropped == 30
+
 
 class UnionFind:
     def __init__(self):

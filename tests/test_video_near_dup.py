@@ -57,3 +57,9 @@ def test_drop_metrics_surface_on_hot_word(spark):
     assert metrics.n_buckets_dropped >= 1
     assert metrics.n_rows_dropped > 0
     assert pairs.count() == 0
+    # observe mode must report the same counters
+    pairs_o, resolve = vd.video_near_dup_pairs(
+        hot, bucket_cap=10, with_metrics="observe"
+    )
+    assert pairs_o.count() == 0
+    assert resolve().__dict__ == metrics.__dict__
