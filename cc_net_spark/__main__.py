@@ -107,6 +107,11 @@ def _neardup(argv: list[str]) -> None:
                    metavar="K",
                    help="after the trigger drains, auto-compact + swap "
                         "the state once it holds >= K batch partitions")
+    p.add_argument("--small-batch-mode", action="store_true",
+                   help="low-latency planning for micro-batches: AQE off "
+                        "+ driver-side state listings during each batch "
+                        "(~half the serial driver barriers; skew stays "
+                        "bounded by the explicit bucket caps)")
     a = p.parse_args(argv)
 
     # validate BEFORE paying JVM/session startup
@@ -156,6 +161,7 @@ def _neardup(argv: list[str]) -> None:
         audio_exact_verify=a.audio_exact_verify,
         clips_source=a.clips_source,
         emb_col=a.emb_col, emb_dim=a.emb_dim, emb_threshold=a.emb_threshold,
+        small_batch_mode=a.small_batch_mode,
     )
     print(f"neardup: processed available shards; outputs under {a.output} "
           f"(pairs/, flags/, metrics/), state under {a.state}")

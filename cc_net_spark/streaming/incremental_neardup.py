@@ -64,6 +64,53 @@ from cc_net_spark.sources.hadoop_fs import (
 
 FAMILIES = ("minhash", "simhash", "exact", "audio", "embedding")
 
+# Planner overrides for ``small_batch_mode`` (see IncrementalNearDup):
+# the probe batch's latency is almost entirely serial driver barriers —
+# AQE materializes every shuffle as its own query-stage JOB (measured on a
+# 1k-row single-family probe: 38 jobs -> 17 with these two overrides,
+# identical output, ~2x wall), and the bucketed state tree's leaf-dir
+# count (n_state_buckets=64 per batch level) immediately crosses Spark's
+# parallel-partition-discovery threshold (32), turning every state-table
+# LISTING into a distributed job too. Skew safety does not regress: the
+# probe path's joins are explicitly capped on both sides and
+# broadcast-hinted (pairs.candidate_pairs / _family_candidates), so AQE's
+# skew-join splitting is a second line of defense that costs more jobs
+# than it buys on micro-batches. Large or untrusted batches should keep
+# the session defaults (AQE on).
+SMALL_BATCH_CONFS = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "256",
+}
+
+
+def _conf_overrides(spark: SparkSession, overrides: dict):
+    """Context manager: set session confs for the duration of a batch and
+    restore the previous values (or unset) afterwards — exception-safe.
+    NOTE confs are session-global while held; the intended scope is a
+    serial foreachBatch handler, where nothing else shares the session
+    mid-batch (the handler's own family threads SHOULD see them)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        saved: dict = {}
+        for k, v in overrides.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+
+    return _cm()
+
 
 def _join_path(base: str, *parts: str) -> str:
     """URI-safe path join: pathlib mangles scheme URIs ('s3a://b' ->
@@ -168,6 +215,7 @@ class IncrementalNearDup:
         emb_n_bits: int = 32,
         emb_bands: int = 4,
         emb_seed: int = 7,
+        small_batch_mode: bool = False,
     ):
         unknown = set(families) - set(FAMILIES)
         if unknown or not families:
@@ -217,6 +265,12 @@ class IncrementalNearDup:
         self.emb_n_bits = emb_n_bits
         self.emb_bands = emb_bands
         self.emb_seed = emb_seed
+        # small_batch_mode: low-latency planning for MICRO-batches —
+        # process_batch runs under SMALL_BATCH_CONFS (AQE off + driver-
+        # side state listings), halving the per-batch job count. Output
+        # is plan-independent (tested); choose it when batches are small
+        # relative to state and skew is already bounded by the caps.
+        self.small_batch_mode = small_batch_mode
         self._meta_checked = False
         # one file-listing/schema-inference per state table per batch;
         # cleared at the top of process_batch so a batch never sees its
@@ -510,6 +564,12 @@ class IncrementalNearDup:
         return passed.unionByName(unverifiable)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if not self.small_batch_mode:
+            return self._process_batch(batch, batch_id)
+        with _conf_overrides(batch.sparkSession, SMALL_BATCH_CONFS):
+            return self._process_batch(batch, batch_id)
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         idc = self.id_col
         if batch.isEmpty():

@@ -1150,3 +1150,42 @@ def test_kbs_thread_error_propagates(spark, tmp_path, monkeypatch):
     import os
 
     assert not os.path.exists(str(tmp_path / "state" / "sigs"))
+
+
+def test_small_batch_mode_is_plan_only(spark, tmp_path):
+    """small_batch_mode changes the PLANNER (AQE off + driver-side state
+    listings during the batch), never the result: pairs/flags/metrics
+    match the default handler row for row across a history probe, and
+    the session confs are restored afterwards (even mid-exception the
+    context manager restores — here we check the happy path)."""
+    near = BASE.replace("wad", "zqwad")
+    b0 = [("a0", BASE), ("a1", THIRD)]
+    b1 = [("b0", BASE), ("b1", near), ("b2", OTHER)]
+
+    outs = {}
+    for label, small in (("default", False), ("small", True)):
+        nd = IncrementalNearDup(
+            str(tmp_path / label / "state"), str(tmp_path / label / "out"),
+            families=("minhash", "simhash", "exact"),
+            small_batch_mode=small,
+        )
+        nd.process_batch(_batch(spark, b0), 0)
+        nd.process_batch(_batch(spark, b1), 1)
+        outs[label] = {
+            t: sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(str(tmp_path / label / "out" / t)).collect(),
+                ),
+                key=repr,
+            )
+            for t in ("pairs", "flags", "metrics")
+        }
+
+    assert outs["small"] == outs["default"]
+    # confs restored to the session defaults after the small-mode batches
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.sources.parallelPartitionDiscovery.threshold")
+        == "32"
+    )
