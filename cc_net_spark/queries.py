@@ -2177,6 +2177,51 @@ def q_incremental_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine >= 0.3 doc pairs over the df-pruned vector space
+    (min_df=2, max_df=N/2) — the lexical-vector dedup family
+    (operators/tfidf.py). Pure JVM expressions end to end; the one
+    quadratic hazard (hot terms) is removed by the max_df prune before
+    the posting self-join. The oracle re-derives the identical space in
+    SQL (same tokenizer regex, same ln(N/df) idf, same L2 norm, same
+    round-then-compare contract as the Jaccard family)."""
+    from cc_net_spark.operators.tfidf import tfidf_cosine_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    return tfidf_cosine_pairs(
+        docs, "text", "doc_id",
+        threshold=0.3, min_df=2, max_df=n // 2, n_total=n,
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "cosine"
+    )
+
+
+SQL_TFIDF_COSINE = """
+  WITH n AS (SELECT COUNT(*) AS n FROM documents),
+  tok AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents),
+  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+  dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+  wt AS (
+    SELECT t.doc_id, t.term, t.tf * ln(n.n / d.df) AS w
+    FROM tf t JOIN dfx d USING (term), n
+    WHERE d.df >= 2 AND d.df <= n.n // 2),
+  nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM wt GROUP BY 1),
+  u AS (
+    SELECT w.doc_id, w.term, w.w / nrm.nrm AS u
+    FROM wt w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0),
+  p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(SUM(a.u * b.u), 6) AS cosine
+    FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.3
+"""
+
+
 def _sql_incremental_text_embedding() -> str:
     return (
         _sql_incnd_body("incte") + ","
@@ -2204,6 +2249,7 @@ def registry():
         "cc_clusters": q_cc_clusters,
         "cc_clusters_dist": q_cc_clusters_dist,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "substring_pairs": q_substring_pairs,
         "ann_topk": q_ann_topk,
         "language_id": q_language_id,
@@ -2261,6 +2307,7 @@ def registry():
         "cc_clusters": SQL_CC_CLUSTERS,
         "cc_clusters_dist": SQL_CC_CLUSTERS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "tfidf_cosine_pairs": SQL_TFIDF_COSINE,
         "substring_pairs": SQL_SUBSTRING_PAIRS,
         "ann_topk": SQL_ANN_TOPK,
         "language_id": _sql_langid(),
