@@ -44,8 +44,10 @@ def wav_encode_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", n) + data
 
 
-def wav_decode_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
-    """WAV (RIFF, PCM16LE mono) -> (sr_hz, float32 pcm in [-1, 1])."""
+def wav_decode_int16(blob: bytes) -> tuple[int, np.ndarray]:
+    """WAV (RIFF, PCM16LE mono) -> (sr_hz, raw int16 samples) — the
+    lossless decode (no float scaling), used where exact integer-domain
+    math matters (resampling, differential checksums)."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
     pos = 12
@@ -61,10 +63,24 @@ def wav_decode_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
         elif cid == b"data":
             if sr_hz is None:
                 raise ValueError("data chunk before fmt chunk")
-            pcm = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32768.0
-            return sr_hz, pcm
+            return sr_hz, np.frombuffer(body, dtype="<i2")
         pos += 8 + size + (size & 1)
     raise ValueError("no data chunk")
+
+
+def wav_encode_int16(samples: np.ndarray, sr_hz: int) -> bytes:
+    """Raw int16 mono samples -> WAV (RIFF, PCM16LE), no scaling."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
+def wav_decode_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
+    """WAV (RIFF, PCM16LE mono) -> (sr_hz, float32 pcm in [-1, 1])."""
+    sr_hz, raw = wav_decode_int16(blob)
+    return sr_hz, raw.astype(np.float32) / 32768.0
 
 
 def decode_clip(codec: str, blob: bytes) -> tuple[int, np.ndarray]:
@@ -461,3 +477,105 @@ def audio_features(
         compute,
         schema=f"{id_col} string, rms double, zero_crossings long, spectral_centroid double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Resampling (exact integer-domain linear interpolation)
+# ---------------------------------------------------------------------------
+
+
+def _resample_int16(x: np.ndarray, sr_in: int, sr_out: int):
+    """Linear-interpolate raw int16 samples from sr_in to sr_out with
+    EXACT integer math (the audio analogue of image.resize's
+    nearest-neighbor index contract — every intermediate is an int64,
+    so an independent engine re-deriving the same formula matches bit
+    for bit, no float summation-order wobble):
+
+        n_out       = n * sr_out // sr_in
+        pos(k)      = k * sr_in / sr_out   (rational, never materialized)
+        i0, rem     = (k*sr_in) // sr_out, (k*sr_in) % sr_out
+        y_scaled(k) = x[i0]*(sr_out-rem) + x[min(i0+1, n-1)]*rem
+        y(k)        = y_scaled(k) // sr_out   (floor; |y| <= 32767 since
+                      y_scaled is a convex combination scaled by sr_out)
+
+    All // and % operands except y_scaled are non-negative — y_scaled is
+    only ever divided HERE (numpy floor semantics); cross-engine
+    checksums are taken over y_scaled itself because DuckDB's integer
+    division truncates toward zero on negatives while Python floors.
+
+    Returns (y int16 array, y_scaled int64 array).
+    """
+    n = len(x)
+    n_out = n * sr_out // sr_in
+    if n == 0 or n_out == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int16), z
+    k = np.arange(n_out, dtype=np.int64)
+    num = k * sr_in
+    i0 = num // sr_out
+    rem = num - i0 * sr_out
+    i1 = np.minimum(i0 + 1, n - 1)
+    xs = x.astype(np.int64)
+    y_scaled = xs[i0] * (sr_out - rem) + xs[i1] * rem
+    return (y_scaled // sr_out).astype(np.int16), y_scaled
+
+
+def resample(
+    clips: DataFrame,
+    target_hz: int,
+    id_col: str = "clip_id",
+    *,
+    audit: bool = False,
+) -> DataFrame:
+    """Re-encode every clip at ``target_hz`` (linear interpolation in the
+    int16 domain — see _resample_int16). Output schema mirrors the clips
+    contract: (id, bytes WAV@target, sr_hz=target, dur_ms preserved,
+    codec, n_out). Stubbed codecs pass through with null bytes + n_out.
+
+    ``audit=True`` adds two exact-integer columns computed in the same
+    decode pass — ``chk = Σ ((k%97)+1) · y_scaled(k)`` (order-weighted;
+    bounded well inside int64) and ``abs_sum = Σ |y_scaled(k)|`` — the
+    cross-engine fingerprint a differential oracle re-derives from the
+    ORIGINAL bytes.
+    """
+    src = clips.select(id_col, "codec", "bytes", "dur_ms")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes, n_outs, chks, abss = [], [], [], []
+            for codec, blob in zip(pdf["codec"], pdf["bytes"]):
+                if codec in STUB_CODECS:
+                    # STUB passthrough: no codec lib to decode with
+                    out_bytes.append(None), n_outs.append(None)
+                    chks.append(None), abss.append(None)
+                    continue
+                if codec not in SUPPORTED_CODECS:
+                    raise ValueError(f"unknown codec: {codec}")
+                sr_in, x = wav_decode_int16(bytes(blob))
+                y, y_scaled = _resample_int16(x, sr_in, target_hz)
+                out_bytes.append(wav_encode_int16(y, target_hz))
+                n_outs.append(len(y))
+                if audit:
+                    k = np.arange(len(y_scaled), dtype=np.int64)
+                    chks.append(int(((k % 97 + 1) * y_scaled).sum()))
+                    abss.append(int(np.abs(y_scaled).sum()))
+            cols = {
+                id_col: pdf[id_col],
+                "bytes": out_bytes,
+                "sr_hz": np.int32(target_hz),
+                "dur_ms": pdf["dur_ms"],
+                "codec": pdf["codec"],
+                "n_out": pd.array(n_outs, dtype="Int64"),
+            }
+            if audit:
+                cols["chk"] = pd.array(chks, dtype="Int64")
+                cols["abs_sum"] = pd.array(abss, dtype="Int64")
+            yield pd.DataFrame(cols)
+
+    schema = (
+        f"{id_col} string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, n_out long"
+    )
+    if audit:
+        schema += ", chk long, abs_sum long"
+    return src.mapInPandas(compute, schema=schema)

@@ -851,6 +851,61 @@ SQL_AUDIO_FRAME_SAMPLE = f"""
 """
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate conversion (linear interpolation in the int16 domain,
+    multimodal/audio.resample) — TRUE differential oracle: the query
+    exports the ORIGINAL clip blobs, and DuckDB independently decodes
+    them (hex slicing) and re-derives every resampled sample from the
+    identical integer index formula (i0 = k·sr_in // sr_out, exact
+    int64 y_scaled), aggregated into order-weighted integer checksums.
+    The corpus mixes sr 8000 (upsample to 12000) and 16000 (downsample),
+    so both interpolation directions are exercised."""
+    from cc_net_spark.multimodal.audio import resample
+    from cc_net_spark.sources import synth
+
+    clips = synth.generate_clips(spark, 96, seed=43, with_audio=True)
+    clips.select("clip_id", "sr_hz", "bytes").write.mode("overwrite").parquet(
+        f"{ORACLE_EXPORT}/resample_clips"
+    )
+    out = resample(clips, 12000, audit=True)
+    return out.select("clip_id", "sr_hz", "n_out", "chk", "abs_sum")
+
+
+# Same fixed-44-byte-header WAV layout as SQL_AUDIO_FRAME_SAMPLE. All
+# division/modulo operands are non-negative BY CONSTRUCTION (k, sr) —
+# DuckDB's // truncates toward zero while numpy floors, so the signed
+# y_scaled values are only ever SUMMED, never divided.
+SQL_AUDIO_RESAMPLE = f"""
+  WITH c AS (SELECT clip_id, sr_hz, hex(bytes) AS hx,
+                    (octet_length(bytes) - 44) // 2 AS n
+             FROM read_parquet('{ORACLE_EXPORT}/resample_clips/*.parquet')),
+  k AS (SELECT clip_id, sr_hz, hx, n, CAST(t.k AS BIGINT) AS k
+        FROM c, unnest(range((n * 12000) // sr_hz)) AS t(k)),
+  idx AS (SELECT clip_id, hx, n, k,
+                 (k * sr_hz) // 12000 AS i0,
+                 (k * sr_hz) % 12000 AS rem
+          FROM k),
+  v AS (SELECT clip_id, k, rem,
+               CAST('0x' || substr(hx, CAST(88 + i0*4 + 3 AS BIGINT), 2)
+                         || substr(hx, CAST(88 + i0*4 + 1 AS BIGINT), 2)
+                    AS INTEGER) AS u0,
+               CAST('0x' || substr(hx, CAST(88 + least(i0+1, n-1)*4 + 3 AS BIGINT), 2)
+                         || substr(hx, CAST(88 + least(i0+1, n-1)*4 + 1 AS BIGINT), 2)
+                    AS INTEGER) AS u1
+        FROM idx),
+  ys AS (SELECT clip_id, k,
+                (CASE WHEN u0 >= 32768 THEN u0 - 65536 ELSE u0 END)
+                  * (12000 - rem)
+              + (CASE WHEN u1 >= 32768 THEN u1 - 65536 ELSE u1 END) * rem
+                AS y
+         FROM v)
+  SELECT clip_id, 12000 AS sr_hz, CAST(COUNT(*) AS BIGINT) AS n_out,
+         CAST(SUM((k % 97 + 1) * y) AS BIGINT) AS chk,
+         CAST(SUM(abs(y)) AS BIGINT) AS abs_sum
+  FROM ys GROUP BY clip_id
+"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window aggregation over the events table."""
     ev = load(spark, sf_dir, "events")
@@ -2288,6 +2343,7 @@ def registry():
         "audio_near_dup": q_audio_near_dup,
         "audio_features": q_audio_features,
         "audio_frame_sample": q_audio_frame_sample,
+        "audio_resample": q_audio_resample,
         "image_near_dup": q_image_near_dup,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
@@ -2351,6 +2407,7 @@ def registry():
         # oracles (DuckDB decodes the exported WAV blobs in pure SQL)
         "audio_features": SQL_AUDIO_FEATURES,
         "audio_frame_sample": SQL_AUDIO_FRAME_SAMPLE,
+        "audio_resample": SQL_AUDIO_RESAMPLE,
         "image_near_dup": SQL_IMAGE_NEAR_DUP,
         # round-4 continuation: image/video reach audio's differential-
         # oracle depth (DuckDB decodes the exported pixel blobs in SQL)
