@@ -47,7 +47,36 @@ SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 SIZE_SCALE = int(os.environ.get("SPARK_GRAFT_SIZE_SCALE", "3"))
 
 
-def make_spark(cores: int) -> SparkSession:
+# scaling-leg cluster stand-in: "threads" = local[N] (one JVM, N task
+# threads — the historical mode); "executors" = local-cluster[N/c, c, mem]
+# (REAL separate executor JVMs talking to the driver over RPC, each with
+# its own heap, GC, shuffle server and python-worker pool — the closest a
+# single box gets to the north rule's "N and 4N executors": the lo leg is
+# literally 1 executor and the hi leg 4 executors of the same shape).
+SCALE_MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads")
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+
+
+def _wait_executors(spark: SparkSession, n_exec: int, timeout: float = 90.0) -> None:
+    """Block until all executors registered: defaultParallelism (and the
+    stage-concurrency auto-tune that reads it) reports only the already-
+    registered cores, so sizing decisions taken before registration would
+    silently configure for a smaller cluster."""
+    sc = spark.sparkContext
+    t_end = time.time() + timeout
+    while time.time() < t_end:
+        # +1: the map includes the driver's block manager
+        if sc._jsc.sc().getExecutorMemoryStatus().size() >= n_exec + 1:
+            return
+        time.sleep(0.25)
+    raise RuntimeError(
+        f"only {sc._jsc.sc().getExecutorMemoryStatus().size() - 1}/{n_exec} "
+        "executors registered before timeout"
+    )
+
+
+def make_spark(cores: int, executors: bool = False) -> SparkSession:
     from cc_net_spark.session import get_spark
 
     # SPARK_GRAFT_SHUFFLE_PARTS: A/B knob. 4-waves-per-slot (cores*4) was
@@ -55,11 +84,35 @@ def make_spark(cores: int) -> SparkSession:
     # matched window (29.0 vs 29.3 s at 8 cores, 60k clips) — AQE
     # coalescing already rebalances; keep the long-recorded default.
     parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0")) or max(8, cores)
-    return get_spark(
-        app_name=f"cc_net_spark_bench_{cores}",
-        master=f"local[{cores}]",
+    if not executors:
+        return get_spark(
+            app_name=f"cc_net_spark_bench_{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=parts,
+        )
+    import pyspark
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    # local-cluster needs a SPARK_HOME to launch worker/executor JVMs from
+    # (the pip install ships the jars + launch scripts); executor python
+    # workers import cc_net_spark from PYTHONPATH — the same contract a
+    # real cluster meets via spark-submit --py-files (scripts/
+    # make_pyfiles.py + scripts/submit_near_dup.py exercise that path).
+    os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ.setdefault("SPARK_WORKER_DIR", tempfile.mkdtemp(prefix="lc_worker_"))
+    n_exec = max(1, cores // EXEC_CORES)
+    spark = get_spark(
+        app_name=f"cc_net_spark_bench_exec_{n_exec}x{EXEC_CORES}",
+        master=f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]",
         shuffle_partitions=parts,
+        extra_conf={
+            "spark.executor.memory": f"{max(1024, EXEC_MEM_MB - 1024)}m",
+            "spark.executorEnv.PYTHONPATH": repo_root,
+        },
     )
+    _wait_executors(spark, n_exec)
+    return spark
 
 
 def spin_rate(procs: int, seconds: float = 4.0) -> float:
@@ -200,7 +253,8 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
     spin = spin_rate(cores)
     membw = membw_rate(cores)
     fused = os.environ.get("SPARK_GRAFT_LEG_FUSED", "0") == "1"
-    spark = make_spark(cores)
+    executors = SCALE_MODE == "executors"
+    spark = make_spark(cores, executors=executors)
     workdir = tempfile.mkdtemp(prefix=f"bench_leg_{cores}_")
     try:
         warm_workers(spark, cores)
@@ -217,6 +271,12 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
         "membw_bytes_per_sec": round(membw),
         "keep_shingles": os.environ["SPARK_GRAFT_KEEP_SHINGLES"] == "1",
         "dup_pair_recall": quality["dup_pair_recall"],
+        "mode": SCALE_MODE,
+        **(
+            {"executors": max(1, cores // EXEC_CORES), "exec_cores": EXEC_CORES}
+            if executors
+            else {}
+        ),
     }))
 
 
@@ -431,6 +491,15 @@ def run_scaling(tmp: str) -> dict:
         }
     ratio = scaling["hi"]["clips_per_sec"] / scaling["lo"]["clips_per_sec"]
     scaling["n_clips"] = N_SCALING
+    scaling["mode"] = SCALE_MODE
+    if SCALE_MODE == "executors":
+        # the north rule's literal shape: same job, N vs 4N executors
+        # (separate JVMs, own heap/GC/shuffle-server/python workers)
+        scaling["executors"] = {
+            "lo": max(1, lo_cores // EXEC_CORES),
+            "hi": max(1, hi_cores // EXEC_CORES),
+            "cores_per_executor": EXEC_CORES,
+        }
     scaling["speedup"] = round(ratio, 3)
     scaling["efficiency"] = round(ratio / (hi_cores / lo_cores), 3)
     # spin-normalized: engine speedup relative to what the VM actually

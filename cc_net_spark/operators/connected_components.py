@@ -17,15 +17,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _orient(edges: DataFrame) -> DataFrame:
+    """Orient (big, small), drop self-loops — narrow ops, no shuffle."""
+    return edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+
+
 def _canonical(edges: DataFrame) -> DataFrame:
     """Orient (big, small), drop self-loops, distinct."""
-    return (
-        edges.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    return _orient(edges).distinct()
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -144,9 +145,14 @@ def connected_components(
     loss. Two paths are ping-ponged so storage stays at ~2x one round.
     The single-box default stays ``localCheckpoint`` (no write amp).
     """
-    e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e_raw = _orient(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     if driver_threshold and edge_count is not None and edge_count <= driver_threshold:
-        return _driver_union_find(e)
+        # union-find is idempotent on duplicate edges, so the driver path
+        # skips the dedup SHUFFLE entirely: orientation + self-loop filter
+        # are narrow, and the (bounded, <= driver_threshold pre-dedup
+        # rows) raw edge list streams straight to the driver via Arrow.
+        return _driver_union_find(e_raw)
+    e = e_raw.distinct()
 
     spark = edges.sparkSession
     if checkpoint_dir is not None:

@@ -241,8 +241,13 @@ def build_stages(
         return None
 
     def _cluster_edges(spark: SparkSession, edges: DataFrame, edge_count: int | None) -> DataFrame:
+        # no pre-distinct: connected_components canonicalizes + dedups
+        # once internally (the old pre-distinct paid a SECOND full
+        # shuffle of the edge set, before orientation so it couldn't
+        # even dedup (a,b)/(b,a) twins), and its driver union-find path
+        # needs no dedup at all (union on a duplicate edge is a no-op)
         comp = connected_components(
-            edges.select("id_a", "id_b").distinct(),
+            edges.select("id_a", "id_b"),
             edge_count=edge_count,
             checkpoint_dir=cfg.cc_checkpoint_dir,
         )

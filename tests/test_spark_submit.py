@@ -25,7 +25,7 @@ SPARK_SUBMIT = Path(__import__("pyspark").__file__).parent / "bin" / "spark-subm
 N = 80  # 10 groups of 8 roles: roles 0-4 cluster, 5-7 singletons
 
 
-def test_spark_submit_py_files_near_dup(tmp_path):
+def _submit(tmp_path, master: str, extra_conf: list[str] = ()):
     zip_path = build_zip(tmp_path / "cc_net_spark.zip")
     driver = tmp_path / "submit_near_dup.py"
     shutil.copy(REPO / "scripts" / "submit_near_dup.py", driver)
@@ -34,14 +34,16 @@ def test_spark_submit_py_files_near_dup(tmp_path):
     env.pop("PYTHONPATH", None)  # the zip must be the only package source
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env["SPARK_WORKER_DIR"] = str(tmp_path / "worker")
 
     proc = subprocess.run(
         [
             str(SPARK_SUBMIT),
-            "--master", "local[2]",
+            "--master", master,
             "--driver-memory", "4g",
             "--conf", "spark.sql.shuffle.partitions=4",
             "--conf", "spark.ui.enabled=false",
+            *extra_conf,
             "--py-files", str(zip_path),
             str(driver),
             "--clips", str(tmp_path / "clips"),
@@ -70,3 +72,20 @@ def test_spark_submit_py_files_near_dup(tmp_path):
         f"read_parquet('{tmp_path / 'clusters'}/*.parquet')"
     ).fetchone()
     assert (rows, clusters) == (N, N // 8 * 4)
+
+
+def test_spark_submit_py_files_near_dup(tmp_path):
+    _submit(tmp_path, "local[2]")
+
+
+def test_spark_submit_multi_executor_local_cluster(tmp_path):
+    """The north rule's literal deployment shape: spark-submit --py-files
+    against a MULTI-EXECUTOR master. local-cluster[2,1,1536] launches two
+    separate executor JVMs (own heap, shuffle server, python workers) that
+    can only import cc_net_spark from the shipped --py-files zip — the
+    exact contract of a fresh multi-node cluster, minus the network."""
+    _submit(
+        tmp_path,
+        "local-cluster[2,1,1536]",
+        extra_conf=["--conf", "spark.executor.memory=1g"],
+    )
