@@ -6,10 +6,12 @@ line: {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {...per-job sec...}, "sf": ..., "throughput_clips_per_sec": N,
 "scaling": {...}}.
 
-Scaling evidence (BASELINE.json north rule; no real cluster in this
-sandbox): the same clustering job runs at two parallelism levels —
-local[N/4] and local[N] — on identical input; efficiency =
-throughput(N) / (4 * throughput(N/4)). Controlled by
+Scaling evidence (BASELINE.json north rule; no real multi-node cluster
+in this sandbox): the same clustering job runs at two cluster sizes —
+1 executor vs 4 executors (separate JVMs via local-cluster, the default
+SPARK_GRAFT_SCALE_MODE=executors; SPARK_GRAFT_SCALE_MODE=threads
+restores the historical local[N/4] vs local[N] legs) — on identical
+input; efficiency = throughput(4N) / (4 * throughput(N)). Controlled by
 SPARK_GRAFT_SCALING=0/1 (default 1).
 
 Usage: ``python bench.py`` or ``spark-submit --py-files cc_net_spark.zip bench.py``.
@@ -47,13 +49,18 @@ SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 SIZE_SCALE = int(os.environ.get("SPARK_GRAFT_SIZE_SCALE", "3"))
 
 
-# scaling-leg cluster stand-in: "threads" = local[N] (one JVM, N task
-# threads — the historical mode); "executors" = local-cluster[N/c, c, mem]
-# (REAL separate executor JVMs talking to the driver over RPC, each with
-# its own heap, GC, shuffle server and python-worker pool — the closest a
-# single box gets to the north rule's "N and 4N executors": the lo leg is
-# literally 1 executor and the hi leg 4 executors of the same shape).
-SCALE_MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads")
+# scaling-leg cluster stand-in: "executors" (default) = local-cluster
+# [N/c, c, mem] — REAL separate executor JVMs talking to the driver over
+# RPC, each with its own heap, GC, shuffle server and python-worker pool;
+# the lo leg is literally 1 executor and the hi leg 4 executors of the
+# same shape, the north rule's own phrasing ("N and 4N executors").
+# "threads" = local[N] (one JVM, N task threads — the mode rounds 1-4
+# recorded; kept as the A/B baseline). Matched-window A/B at 120k clips:
+# executors 0.665 raw 2->8 vs threads 0.697 — the ~4.6% hi-leg cost is
+# inter-JVM shuffle serialization that the threads mode skips entirely,
+# i.e. the executors number is the HONEST multi-executor figure, not a
+# degradation (BENCH/BASELINE.md "executor-mode legs" section).
+SCALE_MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "executors")
 EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
 EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
 
