@@ -462,21 +462,42 @@ def run_scaling(tmp: str) -> dict:
     # hardware-clean regime on this box (8->32 loses ~30% to freq/steal)
     lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cores * 4)))
-    legs: dict[int, list[dict]] = {lo_cores: [], hi_cores: []}
-    for _rep in range(SCALING_REPS):
-        for cores in (lo_cores, hi_cores):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--leg", str(cores), scaling_path],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if proc.returncode != 0 or not proc.stdout.strip():
-                raise RuntimeError(
-                    f"scaling leg cores={cores} failed (rc={proc.returncode}): "
-                    + proc.stderr[-2000:]
+
+    def run_block(mode: str) -> dict[int, list[dict]]:
+        legs: dict[int, list[dict]] = {lo_cores: [], hi_cores: []}
+        env = dict(os.environ, SPARK_GRAFT_SCALE_MODE=mode)
+        for _rep in range(SCALING_REPS):
+            for cores in (lo_cores, hi_cores):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--leg", str(cores), scaling_path],
+                    capture_output=True,
+                    text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    env=env,
                 )
-            legs[cores].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+                if proc.returncode != 0 or not proc.stdout.strip():
+                    raise RuntimeError(
+                        f"scaling leg cores={cores} mode={mode} failed "
+                        f"(rc={proc.returncode}): " + proc.stderr[-2000:]
+                    )
+                legs[cores].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        return legs
+
+    mode = SCALE_MODE
+    mode_fallback = None
+    try:
+        legs = run_block(mode)
+    except RuntimeError as exc:
+        if mode != "executors":
+            raise
+        # executor legs need working local-cluster worker/executor JVM
+        # launch; if the environment can't provide it, a lost round
+        # artifact is worse than thread-mode legs — fall back and say so
+        # IN the artifact rather than dying
+        print(f"executor-mode legs failed, falling back to threads: {exc}",
+              file=sys.stderr)
+        mode, mode_fallback = "threads", str(exc)[:500]
+        legs = run_block(mode)
     scaling: dict = {}
     best: dict[int, dict] = {}
     for cores, key in ((lo_cores, "lo"), (hi_cores, "hi")):
@@ -498,8 +519,10 @@ def run_scaling(tmp: str) -> dict:
         }
     ratio = scaling["hi"]["clips_per_sec"] / scaling["lo"]["clips_per_sec"]
     scaling["n_clips"] = N_SCALING
-    scaling["mode"] = SCALE_MODE
-    if SCALE_MODE == "executors":
+    scaling["mode"] = mode
+    if mode_fallback is not None:
+        scaling["mode_fallback_reason"] = mode_fallback
+    if mode == "executors":
         # the north rule's literal shape: same job, N vs 4N executors
         # (separate JVMs, own heap/GC/shuffle-server/python workers)
         scaling["executors"] = {
