@@ -69,8 +69,11 @@ def fused_signatures(
     a, b = minhash_params(num_perm, seed)
     shingle_cols = ", shingles array<long>" if keep_shingles else ""
     gram_cols = " grams array<long>," if with_grams else ""
+    # sig entries store the TOP 32 BITS of each 64-bit minimum (see
+    # minhash.shingle_signatures): equality semantics preserved, half
+    # the bytes in the pipeline's dominant table and verify-join shuffle
     out_schema = (
-        f"{id_col} string, n_shingles int{shingle_cols}, sig array<long>,"
+        f"{id_col} string, n_shingles int{shingle_cols}, sig array<int>,"
         f" simhash long,{gram_cols} tkey long"
     )
     src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(field))
@@ -107,7 +110,9 @@ def fused_signatures(
             flat = (
                 np.concatenate(per_row) if per_row else np.empty(0, np.uint64)
             ).astype(np.uint64)
-            sig = minhash_signatures(flat, offsets, a, b).view(np.int64)
+            sig = (minhash_signatures(flat, offsets, a, b) >> np.uint64(32)).astype(
+                np.uint32
+            ).view(np.int32)
 
             # --- simhash over the token multiset (same token hashes)
             sims = simhash64(tok_flat, tok_offsets)
