@@ -102,6 +102,39 @@ def _scan_parquet_dir(path: Path) -> tuple[int, list[dict]]:
     return _scan_files(sorted(path.rglob("*.parquet")), path)
 
 
+def readback_schema_json(df: DataFrame) -> str:
+    """The schema ``spark.read.parquet`` would infer for ``df``'s output:
+    Spark writes every Parquet column as optional ("all columns are
+    automatically converted to be nullable for compatibility reasons"),
+    so read-back inference reports nullable=true recursively. Recording
+    THIS normalized schema in the manifest lets stage reads pass it
+    explicitly and skip the footer-inference Spark job entirely, while
+    yielding a byte-identical downstream schema."""
+
+    def norm(t: dict) -> dict:
+        if not isinstance(t, dict):
+            return t
+        t = dict(t)
+        kind = t.get("type")
+        if kind == "struct" or "fields" in t:
+            t["fields"] = [
+                {**f, "nullable": True, "type": norm(f["type"])}
+                for f in t["fields"]
+            ]
+        elif kind == "array":
+            t["containsNull"] = True
+            t["elementType"] = norm(t["elementType"])
+        elif kind == "map":
+            t["valueContainsNull"] = True
+            t["keyType"] = norm(t["keyType"])
+            t["valueType"] = norm(t["valueType"])
+        elif kind == "udt":
+            pass
+        return t
+
+    return json.dumps(norm(json.loads(df.schema.json())))
+
+
 def fingerprint_listing(parts: list[dict]) -> str:
     """Content-addressed fingerprint of a file listing.
 
@@ -251,7 +284,18 @@ class StageRunner:
     def load(self, stage_name: str) -> DataFrame:
         if self.use_snapshots:
             return self._table(stage_name).read()
-        return self.spark.read.parquet(str(self.data_path(stage_name)))
+        # manifests committed since round 4 record the stage's read-back
+        # schema: passing it to the reader skips the footer-inference job
+        # (1 Spark job per stage read — fixed serial latency locally, and
+        # a real distributed footer scan on a 10^6-file table at cluster
+        # scale). Older manifests fall back to inference.
+        m = self.read_manifest(stage_name)
+        reader = self.spark.read
+        if m and m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+        return reader.parquet(str(self.data_path(stage_name)))
 
     def rows(self, stage_name: str) -> int | None:
         """Committed row count of a completed stage (manifest lookup)."""
@@ -331,6 +375,7 @@ class StageRunner:
             df = built
 
         final = self.data_path(st.name)
+        schema_json = readback_schema_json(df)
         snapshot_id = None
         if self.use_snapshots:
             table = self._table(st.name)
@@ -352,7 +397,18 @@ class StageRunner:
         build_metrics = {
             k: (v() if callable(v) else v) for k, v in build_metrics.items()
         }
-        extra = st.metrics_fn(self.load(st.name)) if st.metrics_fn else {}
+        # read with THIS run's schema, not load()'s manifest lookup — the
+        # stage's previous manifest (if any) may describe an older schema
+        if st.metrics_fn:
+            from pyspark.sql.types import StructType
+
+            extra = st.metrics_fn(
+                self.spark.read.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                ).parquet(str(final))
+            )
+        else:
+            extra = {}
         extra = {**build_metrics, **extra}
         manifest = {
             "stage": st.name,
@@ -365,6 +421,7 @@ class StageRunner:
                 e: fingerprint_external(e, self.spark) for e in st.external_inputs
             },
             "fingerprint": fingerprint_listing(partitions),
+            "schema": schema_json,
             "metrics": extra,
             **({"snapshot_id": snapshot_id} if snapshot_id is not None else {}),
         }

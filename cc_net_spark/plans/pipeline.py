@@ -121,7 +121,11 @@ def build_stages(
         # schema) — one row per clip_id. The pair stages' assume_unique
         # paths count on it; a corpus with repeated ids must be deduped
         # upstream (the incremental handler does so per batch).
-        return spark.read.parquet(clips_path).select(idc, txt)
+        # parquet_meta.read_parquet: schema from ONE driver-side footer
+        # read => no footer-inference Spark job per stage that opens clips
+        from cc_net_spark.sources.parquet_meta import read_parquet
+
+        return read_parquet(spark, clips_path).select(idc, txt)
 
     def stage_exact_hashes(spark: SparkSession) -> DataFrame:
         return ed.build_hashes(ed.paragraph_hashes(load_clips(spark), txt, idc))
@@ -200,8 +204,9 @@ def build_stages(
         # (pairs, drop-metrics) so the manifest records any capped
         # fingerprint buckets (no silent truncation)
         from cc_net_spark.multimodal.audio import audio_near_dup_pairs
+        from cc_net_spark.sources.parquet_meta import read_parquet
 
-        clips = spark.read.parquet(clips_path).select(idc, "codec", "bytes")
+        clips = read_parquet(spark, clips_path).select(idc, "codec", "bytes")
         pairs, resolve = audio_near_dup_pairs(
             clips, idc, bucket_cap=cfg.bucket_cap, min_snr_db=cfg.audio_min_snr_db,
             with_metrics="observe",

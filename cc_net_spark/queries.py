@@ -46,7 +46,10 @@ _atexit.register(lambda: _shutil.rmtree(ORACLE_EXPORT, ignore_errors=True))
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # driver-side footer schema => no footer-inference Spark job per open
+    from cc_net_spark.sources.parquet_meta import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def table_rows(sf_dir: str, name: str) -> int:

@@ -274,3 +274,41 @@ def test_parallel_stages_cycle_detection(spark, tmp_path):
     ]
     with pytest.raises(RuntimeError, match="cycle or missing input"):
         runner.run(bad, max_parallel=2)
+
+
+def test_stage_load_and_table_open_launch_zero_jobs(spark, tmp_path):
+    """Opening a committed stage table (manifest-recorded schema) or an
+    external parquet table (parquet_meta: one driver-side footer read)
+    must launch NO Spark job — plain spark.read.parquet pays a footer-
+    inference job per open, a fixed serial barrier locally and a real
+    distributed footer scan on a many-file table at cluster scale."""
+    from cc_net_spark.sources.parquet_meta import read_parquet
+
+    def n_jobs() -> int:
+        return spark._jsc.sc().statusStore().jobsList(None).size()
+
+    def build(s):
+        return s.range(8).select(
+            F.col("id").cast("string").alias("clip_id"),
+            F.array(F.lit(1), F.lit(2)).alias("sig"),
+            F.struct(F.lit("x").alias("a")).alias("meta"),
+        )
+
+    runner = StageRunner(spark, tmp_path / "dag")
+    runner.run([Stage("sigs", build)])
+    inferred = spark.read.parquet(str(tmp_path / "dag" / "sigs")).schema
+
+    j0 = n_jobs()
+    df = runner.load("sigs")
+    assert df.schema == inferred  # byte-identical to inference
+    assert n_jobs() == j0, "manifest-schema stage load launched a Spark job"
+    assert df.count() == 8
+
+    ext = tmp_path / "ext.parquet"
+    build(spark).write.parquet(str(ext))
+    inferred_ext = spark.read.parquet(str(ext)).schema
+    j0 = n_jobs()
+    df = read_parquet(spark, str(ext))
+    assert df.schema == inferred_ext
+    assert n_jobs() == j0, "parquet_meta.read_parquet launched a Spark job"
+    assert df.count() == 8
