@@ -107,7 +107,22 @@ def make_spark(cores: int, executors: bool = False) -> SparkSession:
     # make_pyfiles.py + scripts/submit_near_dup.py exercise that path).
     os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
-    os.environ.setdefault("SPARK_WORKER_DIR", tempfile.mkdtemp(prefix="lc_worker_"))
+    if "SPARK_WORKER_DIR" not in os.environ:
+        # fixed path, not mkdtemp-per-call: worker logs are reused across
+        # legs/reps instead of leaking a fresh dir per SparkSession
+        os.environ["SPARK_WORKER_DIR"] = os.path.join(
+            tempfile.gettempdir(), "cc_net_spark_lc_workers"
+        )
+    os.makedirs(os.environ["SPARK_WORKER_DIR"], exist_ok=True)
+    if cores % EXEC_CORES != 0:
+        # silently rounding would misreport the efficiency denominator
+        # (a cores=1 leg would really run a 2-core executor)
+        raise ValueError(
+            f"executor-mode leg cores={cores} is not a multiple of "
+            f"EXEC_CORES={EXEC_CORES}; set SPARK_GRAFT_EXEC_CORES or use "
+            f"divisible SPARK_GRAFT_SCALE_LO/HI (or SPARK_GRAFT_SCALE_MODE="
+            f"threads)"
+        )
     n_exec = max(1, cores // EXEC_CORES)
     spark = get_spark(
         app_name=f"cc_net_spark_bench_exec_{n_exec}x{EXEC_CORES}",
@@ -480,7 +495,17 @@ def run_scaling(tmp: str) -> dict:
                         f"scaling leg cores={cores} mode={mode} failed "
                         f"(rc={proc.returncode}): " + proc.stderr[-2000:]
                     )
-                legs[cores].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+                last = proc.stdout.strip().splitlines()[-1]
+                try:
+                    legs[cores].append(json.loads(last))
+                except json.JSONDecodeError as exc:
+                    # route through the same RuntimeError path as a
+                    # nonzero exit so the executor->threads fallback
+                    # still fires (worker-launch noise on stdout etc.)
+                    raise RuntimeError(
+                        f"scaling leg cores={cores} mode={mode} emitted "
+                        f"non-JSON final line: {last[:300]!r}"
+                    ) from exc
         return legs
 
     mode = SCALE_MODE

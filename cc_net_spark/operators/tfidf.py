@@ -100,6 +100,11 @@ def tfidf_postings(
 
     metrics = None
     if with_metrics:
+        # the metrics agg below is an ACTION over tf's full lineage
+        # (tokenize -> tf groupBy -> df window); checkpoint so the
+        # returned postings reuse that work instead of re-running the
+        # operator's two big shuffles (lazy: materialized by the collect)
+        tf = tf.localCheckpoint(eager=False)
         vocab = tf.groupBy("term").agg(F.first("df").alias("df"))
         m = vocab.agg(
             F.count(F.lit(1)).alias("n"),

@@ -402,11 +402,20 @@ class StageRunner:
         if st.metrics_fn:
             from pyspark.sql.types import StructType
 
-            extra = st.metrics_fn(
-                self.spark.read.schema(
-                    StructType.fromJson(json.loads(schema_json))
-                ).parquet(str(final))
-            )
+            schema = StructType.fromJson(json.loads(schema_json))
+            reader = self.spark.read.schema(schema)
+            if self.use_snapshots:
+                # data lives under <root>/data/batch-*/ — reading the
+                # table ROOT yields zero rows; read the snapshot's own
+                # file list (already resolved above)
+                metrics_df = (
+                    reader.parquet(*[str(f) for f in files])
+                    if files
+                    else self.spark.createDataFrame([], schema)
+                )
+            else:
+                metrics_df = reader.parquet(str(final))
+            extra = st.metrics_fn(metrics_df)
         else:
             extra = {}
         extra = {**build_metrics, **extra}

@@ -871,7 +871,13 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{ORACLE_EXPORT}/resample_clips"
     )
     out = resample(clips, 12000, audit=True)
-    return out.select("clip_id", "sr_hz", "n_out", "chk", "abs_sum")
+    # the SQL oracle's GROUP BY emits nothing for clips whose resampled
+    # length is zero (and stub codecs carry null n_out); the gate
+    # compares clips with real output — degenerate clips are covered by
+    # the operator unit test instead
+    return out.filter(F.col("n_out") > 0).select(
+        "clip_id", "sr_hz", "n_out", "chk", "abs_sum"
+    )
 
 
 # Same fixed-44-byte-header WAV layout as SQL_AUDIO_FRAME_SAMPLE. All

@@ -64,6 +64,16 @@ from cc_net_spark.sources.hadoop_fs import (
 
 FAMILIES = ("minhash", "simhash", "exact", "audio", "embedding")
 
+# On-disk state format version, pinned in meta/meta.json. Bump whenever a
+# persisted encoding changes incompatibly. History:
+#   1 — original layout; minhash sig slots stored as array<long> (full
+#       64-bit minima).
+#   2 — minhash sig slots stored as array<int> (top 32 bits; see
+#       operators/minhash.py::minhash_signatures_df). Band keys hash the
+#       slots, so formats 1 and 2 never collide on band key — probing
+#       across formats would silently lose every cross-batch match.
+STATE_FORMAT = 2
+
 # Planner overrides for ``small_batch_mode`` (see IncrementalNearDup):
 # the probe batch's latency is almost entirely serial driver barriers —
 # AQE materializes every shuffle as its own query-stage JOB (measured on a
@@ -361,17 +371,35 @@ class IncrementalNearDup:
         marker = _join_path(self.meta_path, "meta.json")
         raw = read_small_text(spark, marker)
         if raw is not None:
-            stored = _json.loads(raw)["n_state_buckets"]
+            meta = _json.loads(raw)
+            stored = meta["n_state_buckets"]
             if stored != self.n_state_buckets:
                 raise ValueError(
                     f"state at {self.meta_path} was written with "
                     f"n_state_buckets={stored}, handler configured with "
                     f"{self.n_state_buckets} — probes would miss buckets"
                 )
+            # sig encoding is baked into persisted sigs AND band keys
+            # (band key = xxhash64 over signature slots): probing
+            # format-1 state (64-bit slots) with format-2 signatures
+            # (top-32-bit slots) would hash to different band keys and
+            # silently drop every history match, and appending the new
+            # slot type into the old files breaks the parquet schema.
+            stored_fmt = meta.get("state_format", 1)
+            if stored_fmt != STATE_FORMAT:
+                raise ValueError(
+                    f"state at {self.meta_path} has state_format="
+                    f"{stored_fmt}, this engine writes {STATE_FORMAT} — "
+                    f"rebuild the state (or keep the matching engine "
+                    f"version); mixing formats silently loses recall"
+                )
         else:
             write_small_text(
                 spark, marker,
-                _json.dumps({"n_state_buckets": self.n_state_buckets}),
+                _json.dumps({
+                    "n_state_buckets": self.n_state_buckets,
+                    "state_format": STATE_FORMAT,
+                }),
             )
         self._meta_checked = True
 

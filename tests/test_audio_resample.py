@@ -89,3 +89,19 @@ def test_unknown_codec_raises(spark):
     )
     with pytest.raises(Exception, match="unknown codec"):
         resample(df, 12000).collect()
+
+
+def test_degenerate_clip_yields_zero_output_row(spark):
+    """A clip too short to produce any resampled sample (n*target//sr==0)
+    emits an n_out=0 row from the operator; the differential gate query
+    excludes such rows because the SQL oracle's GROUP BY cannot emit
+    them (queries.q_audio_resample filters n_out > 0)."""
+    # one sample at 16 kHz -> 1*12000//16000 == 0 output samples
+    blob = wav_encode_int16(np.array([1234], dtype=np.int16), 16000)
+    df = spark.createDataFrame(
+        [("tiny", blob, "pcm_s16le", 0)], ["clip_id", "bytes", "codec", "dur_ms"]
+    )
+    row = resample(df, 12000, audit=True).collect()[0]
+    assert row["n_out"] == 0 and row["chk"] == 0 and row["abs_sum"] == 0
+    sr, y = wav_decode_int16(bytes(row["bytes"]))
+    assert sr == 12000 and len(y) == 0

@@ -1189,3 +1189,35 @@ def test_small_batch_mode_is_plan_only(spark, tmp_path):
         spark.conf.get("spark.sql.sources.parallelPartitionDiscovery.threshold")
         == "32"
     )
+
+
+def test_mismatched_state_format_is_rejected(spark, tmp_path):
+    """The sig encoding is baked into persisted sigs AND band keys
+    (xxhash64 over the slots): probing format-1 state (64-bit slots)
+    with format-2 signatures would hash to different band keys and
+    silently lose every cross-batch match. The meta marker turns a
+    format mismatch into a loud error — including legacy markers
+    written before the key existed (implicit format 1)."""
+    import pytest
+    from cc_net_spark.streaming.incremental_neardup import STATE_FORMAT
+    from cc_net_spark.sources.hadoop_fs import write_small_text
+
+    nd = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out"))
+    nd.process_batch(_batch(spark, [("a0", BASE)]), 0)
+    marker = str(tmp_path / "state" / "meta" / "meta.json")
+    meta = json.loads((tmp_path / "state" / "meta" / "meta.json").read_text())
+    assert meta["state_format"] == STATE_FORMAT
+
+    # pin an older format into the marker: a fresh handler must refuse
+    meta["state_format"] = STATE_FORMAT - 1
+    write_small_text(spark, marker, json.dumps(meta))
+    stale = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out2"))
+    with pytest.raises(ValueError, match="state_format"):
+        stale.process_batch(_batch(spark, [("b0", BASE)]), 1)
+
+    # legacy marker with no key at all = format 1 -> same refusal
+    del meta["state_format"]
+    write_small_text(spark, marker, json.dumps(meta))
+    legacy = IncrementalNearDup(str(tmp_path / "state"), str(tmp_path / "out3"))
+    with pytest.raises(ValueError, match="state_format"):
+        legacy.process_batch(_batch(spark, [("c0", BASE)]), 2)

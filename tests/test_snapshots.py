@@ -183,3 +183,17 @@ def test_stage_runner_detects_out_of_band_snapshot_advance(spark, tmp_path):
     m = r.run([Stage("nums", lambda s: s.range(0, 5))])
     assert not m["nums"].get("skipped")  # re-ran, did not serve stale lineage
     assert r.load("nums").count() == 5
+
+
+def test_stage_runner_snapshot_metrics_fn_sees_rows(spark, tmp_path):
+    """metrics_fn must read the SNAPSHOT's file list, not the table root
+    (data lives under <root>/data/batch-*/ — a root read yields zero
+    rows and every metric silently computes over an empty frame)."""
+    from cc_net_spark.plans.dag import Stage, StageRunner
+
+    def build(s):
+        return s.range(0, 7)
+
+    r = StageRunner(spark, tmp_path / "w", use_snapshots=True)
+    m = r.run([Stage("nums", build, metrics_fn=lambda df: {"n": df.count()})])
+    assert m["nums"]["metrics"]["n"] == 7
