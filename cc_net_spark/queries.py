@@ -2299,6 +2299,67 @@ def _sql_incremental_text_embedding() -> str:
     )
 
 
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained duplicate CLUSTERS (the endpoint the batch
+    pipeline reaches with connected components, kept current
+    batch-over-batch): the two-shard incremental near-dup run's verified
+    pairs are folded per batch into the log-structured union-find state
+    of ``streaming/incremental_clusters.py`` (cassign + calias,
+    ``(_batch_id, _kb)``-bucketed, pruned history lookups), then fully
+    alias-resolved. Labels are the component-min id (string order — ids
+    are strings throughout the incremental state), identical to the batch
+    ``connected_components`` convention.
+
+    Oracle: transitive closure over the SAME exported pairs in DuckDB
+    (the ``cc_clusters`` reach-CTE shape), singleton docs coalesced to
+    their own id — i.e. the batch CC result the incremental state must
+    equal regardless of arrival order."""
+    import pathlib
+
+    from cc_net_spark.streaming.incremental_clusters import IncrementalClusters
+
+    base = f"{ORACLE_EXPORT}/incnd"
+    _run_incremental(spark, sf_dir, base)
+    cbase = f"{ORACLE_EXPORT}/incclu"
+    marker = pathlib.Path(cbase) / "_sf_marker"
+    ic = IncrementalClusters(f"{cbase}/state", id_col="doc_id")
+    if not (marker.exists() and marker.read_text() == sf_dir):
+        _shutil.rmtree(cbase, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        pairs = spark.read.parquet(f"{base}/out/pairs")
+        for b in (0, 1):
+            ic.update(
+                docs.filter(F.col("doc_id") % 2 == b),
+                pairs.filter(F.col("_batch_id") == b).select("id_a", "id_b"),
+                b,
+            )
+        marker.write_text(sf_dir)
+    return ic.current(spark)
+
+
+def _sql_incremental_clusters() -> str:
+    return f"""
+  WITH p AS (
+    SELECT id_a, id_b
+    FROM read_parquet('{ORACLE_EXPORT}/incnd/out/pairs/**/*.parquet',
+                      hive_partitioning = 1)),
+  edges AS (SELECT id_a AS s, id_b AS d FROM p
+            UNION SELECT id_b, id_a FROM p),
+  reach AS (
+    WITH RECURSIVE r(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM r JOIN edges e ON r.d = e.s WHERE r.s <> e.d
+    ) SELECT * FROM r),
+  roots AS (SELECT s AS doc_id, least(min(d), s) AS cluster_id
+            FROM reach GROUP BY s)
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         coalesce(r.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+  FROM documents d
+  LEFT JOIN roots r ON r.doc_id = CAST(d.doc_id AS VARCHAR)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2363,6 +2424,7 @@ def registry():
         "incremental_multi_family": q_incremental_multi_family,
         "incremental_embedding": q_incremental_embedding,
         "incremental_text_embedding": q_incremental_text_embedding,
+        "incremental_clusters": q_incremental_clusters,
     }
     o = {
         "dedup_chunks_dropall": SQL_DEDUP_DROPALL,
@@ -2430,5 +2492,6 @@ def registry():
         "incremental_multi_family": _sql_incremental_multi_family(),
         "incremental_embedding": _sql_incremental_embedding(),
         "incremental_text_embedding": _sql_incremental_text_embedding(),
+        "incremental_clusters": _sql_incremental_clusters(),
     }
     return q, o

@@ -1,0 +1,449 @@
+"""Incremental duplicate-CLUSTER maintenance over arriving shards.
+
+The incremental near-dup handler (``incremental_neardup.py``) stops at
+verified match pairs + keep-first flags; the batch pipeline's endpoint is
+cluster assignments (LSH -> verify -> connected components,
+``plans/pipeline.py``). This module closes that gap for the streaming
+path: a LOG-STRUCTURED UNION-FIND whose state lives in two append-only
+tables with the same replay-idempotent ``(_batch_id, _kb)`` hive layout
+as the LSH state, so cluster assignments stay current batch-over-batch
+without ever re-reading history pairs or re-running corpus-wide CC.
+
+State tables (all hive-partitioned ``_batch_id=N/_kb=K``):
+
+* ``cassign`` (id, root) — one row per id, written at its ARRIVAL batch,
+  ``_kb = bucket(id)``. The row is never rewritten; its root can go
+  stale, which is what aliases repair at read time.
+* ``calias`` (old_root, new_root) — written when a merge retires an
+  existing cluster root, ``_kb = bucket(old_root)``. One row per retired
+  root per merge event; resolution follows chains (old -> new -> newer),
+  and compaction collapses them.
+
+Per batch (``update``): the batch's match pairs (from the near-dup
+handler's output, or any edge source) are mapped onto current roots —
+history endpoints look up their assignment with a PARTITION-PRUNED read
+of ``cassign`` (only the endpoints' id buckets are touched, never the
+corpus) and resolve alias chains with pruned reads of ``calias`` — then
+one batch-sized connected-components run over the mapped edges yields
+the final root per touched node (min id across the merged components,
+matching the batch operator's label convention exactly: the min of
+merged minima IS the global component min). Writes: ``cassign`` rows for
+the batch's ids (root = final root; singletons point at themselves) and
+for history endpoints seen here for the first time; ``calias`` rows for
+every retired root. Both writes overwrite only this batch's own
+partition dir, and every read filters ``_batch_id < current``, so an
+at-least-once replay recomputes byte-identical output (same idempotence
+contract as the LSH state).
+
+Scale shape: per-batch IO and compute are bounded by the batch's pair
+volume (itself bounded by the near-dup caps) — history ``cassign`` reads
+prune to the matched endpoints' buckets (dozens of ids -> very few
+bucket dirs), ``calias`` is merge-events-sized (≪ corpus), and the merge
+graph handed to ``connected_components`` holds only this batch's
+endpoints, so its driver/distributed routing sees batch-scale, never
+corpus-scale, input. Nothing in ``update`` scans state proportional to
+the corpus.
+
+Invariant (tested): after any batch sequence, fully-resolved assignments
+equal the batch pipeline's ``connected_components`` + ``assign_clusters``
+over the union of all batches' pairs — arrival order changes which root
+gets retired, never the final labels.
+
+Reference anchor: cc_net's duplicate clusters are implicit in its shared
+hash table (``cc_net/dedup.py:92-124``); the graft makes them an explicit
+maintained table, the "salted repartition + connected-components"
+endpoint of the north star, kept incrementally current.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.window import Window
+
+from cc_net_spark.operators.connected_components import connected_components
+from cc_net_spark.sources.hadoop_fs import (
+    hadoop_fs as _hadoop_fs,
+    read_small_text,
+    write_small_text,
+)
+from cc_net_spark.streaming.incremental_neardup import (
+    _join_path,
+    _read_optional,
+    _run_parallel,
+)
+
+CLUSTER_STATE_FORMAT = 1
+
+
+def _assign_t(id_col: str) -> StructType:
+    return StructType(
+        [StructField(id_col, StringType()), StructField("root", StringType())]
+    )
+
+
+_ALIAS_T = StructType(
+    [StructField("old_root", StringType()), StructField("new_root", StringType())]
+)
+
+
+class IncrementalClusters:
+    """Maintains cluster assignments from per-batch duplicate pairs.
+
+    ``update(batch_ids, pairs, batch_id)`` is the per-micro-batch entry
+    point — typically fed the near-dup handler's verified pairs for the
+    same batch id. ``current()`` returns fully alias-resolved
+    assignments; ``resolve(ids)`` answers point lookups with pruned
+    reads. ``compact_clusters_state`` rewrites the log into one
+    partition with all alias chains collapsed.
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        *,
+        id_col: str = "clip_id",
+        n_state_buckets: int = 64,
+        driver_threshold: int = 2_000_000,
+        max_alias_hops: int = 20,
+    ):
+        self.state_path = state_path
+        self.cassign_path = _join_path(state_path, "cassign")
+        self.calias_path = _join_path(state_path, "calias")
+        self.meta_path = _join_path(state_path, "meta")
+        self.id_col = id_col
+        self.n_state_buckets = n_state_buckets
+        self.driver_threshold = driver_threshold
+        # alias chains deepen by at most 1 per merge that lands on an
+        # already-aliased root BETWEEN compactions; a bound this high is
+        # unreachable in practice and turns a resolution cycle (which
+        # can only come from state corruption) into a loud error
+        self.max_alias_hops = max_alias_hops
+        self._meta_checked = False
+
+    # -- layout helpers (same discipline as IncrementalNearDup) ---------
+
+    def _kb_expr(self, col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_state_buckets)).cast("int")
+
+    def _bucket_ids(self, df: DataFrame, col: str) -> list[int]:
+        rows = df.select(self._kb_expr(col).alias("_kb")).distinct().collect()
+        return sorted(r["_kb"] for r in rows)
+
+    def _history(
+        self, spark: SparkSession, path: str, before: int | None, kbs: list[int] | None
+    ) -> DataFrame | None:
+        """Pruned state read: ``_batch_id < before`` and (when given) the
+        bucket set — both hive levels, so the filter skips directories."""
+        if kbs is not None and not kbs:
+            return None
+        df = _read_optional(spark, path)
+        if df is None:
+            return None
+        if before is not None:
+            df = df.filter(F.col("_batch_id") < before)
+        if kbs is not None:
+            df = df.filter(F.col("_kb").isin(kbs))
+        return df
+
+    def _check_meta(self, spark: SparkSession) -> None:
+        import json as _json
+
+        if self._meta_checked:
+            return
+        marker = _join_path(self.meta_path, "meta.json")
+        raw = read_small_text(spark, marker)
+        if raw is not None:
+            meta = _json.loads(raw)
+            if meta["n_state_buckets"] != self.n_state_buckets:
+                raise ValueError(
+                    f"cluster state at {self.meta_path} was written with "
+                    f"n_state_buckets={meta['n_state_buckets']}, handler "
+                    f"configured with {self.n_state_buckets} — pruned "
+                    f"lookups would miss buckets"
+                )
+            if meta.get("state_format", 1) != CLUSTER_STATE_FORMAT:
+                raise ValueError(
+                    f"cluster state format {meta.get('state_format')} != "
+                    f"engine format {CLUSTER_STATE_FORMAT} — rebuild state"
+                )
+        else:
+            write_small_text(
+                spark, marker,
+                _json.dumps({
+                    "n_state_buckets": self.n_state_buckets,
+                    "state_format": CLUSTER_STATE_FORMAT,
+                }),
+            )
+        self._meta_checked = True
+
+    # -- alias resolution ------------------------------------------------
+
+    def _dedupe_earliest(self, df: DataFrame, key: str) -> DataFrame:
+        """One row per key, earliest batch wins (keep-first, mirroring
+        ``compact_state``): a re-delivered id may carry a second cassign
+        row; the arrival row is authoritative and aliases bring its root
+        current."""
+        w = Window.partitionBy(key).orderBy("_batch_id")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _resolve_aliases(
+        self, spark: SparkSession, df: DataFrame, before: int | None,
+        *, pruned: bool = True,
+    ) -> DataFrame:
+        """Follow alias chains until every ``root`` is current. Each hop
+        is one pruned ``calias`` read + one join; the loop's count action
+        doubles as the convergence test. Zero-merge histories exit on the
+        first hop (absent table / empty pruned read)."""
+        for _hop in range(self.max_alias_hops):
+            kbs = self._bucket_ids(df, "root") if pruned else None
+            alias = self._history(spark, self.calias_path, before, kbs)
+            if alias is None:
+                return df
+            alias = (
+                self._dedupe_earliest(alias, "old_root")
+                .select(F.col("old_root").alias("root"), "new_root")
+            )
+            joined = df.join(F.broadcast(alias), "root", "left").localCheckpoint(
+                eager=False
+            )
+            n_hits = joined.filter(F.col("new_root").isNotNull()).count()
+            if n_hits == 0:
+                return joined.drop("new_root")
+            df = joined.select(
+                *[c for c in df.columns if c != "root"],
+                F.coalesce("new_root", "root").alias("root"),
+            )
+        raise RuntimeError(
+            f"alias chain longer than {self.max_alias_hops} hops — cluster "
+            f"state at {self.calias_path} is corrupt (resolution cycle?)"
+        )
+
+    # -- per-batch update -------------------------------------------------
+
+    def update(self, batch_ids: DataFrame, pairs: DataFrame, batch_id: int) -> None:
+        """Fold one batch's duplicate pairs into the cluster state.
+
+        ``batch_ids``: one column (``id_col``) holding every id that
+        ARRIVED in this batch (matched or not — singletons get their own
+        assignment row). ``pairs``: (id_a, id_b) edges; endpoints outside
+        ``batch_ids`` are history references resolved via pruned state
+        reads. Safe to replay: reads see only ``_batch_id < batch_id``,
+        writes overwrite only this batch's partition dirs.
+        """
+        spark = batch_ids.sparkSession
+        idc = self.id_col
+        self._check_meta(spark)
+        # every persisted id is a string (the LSH state casts too);
+        # self-pairs carry no merge information
+        ids = (
+            batch_ids.select(F.col(idc).cast("string").alias(idc))
+            .dropDuplicates([idc])
+            .localCheckpoint(eager=False)
+        )
+        pr = pairs.select(
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+        ).filter(F.col("id_a") != F.col("id_b"))
+
+        # --- pair endpoints -> current roots (pruned lookups). ALL
+        # endpoints are looked up, batch ids included: under out-of-order
+        # or at-least-once delivery a batch id can already own a state
+        # row (written earlier as a first-seen history endpoint, or by a
+        # replayed shard) — rooting it at itself would strand the rest of
+        # its existing cluster. Lookup volume stays match-bounded.
+        eps = (
+            pr.select(F.col("id_a").alias(idc))
+            .unionByName(pr.select(F.col("id_b").alias(idc)))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        hist_assign = self._history(
+            spark, self.cassign_path, batch_id, self._bucket_ids(eps, idc)
+        )
+        if hist_assign is not None:
+            state_assign = (
+                self._dedupe_earliest(
+                    hist_assign.join(F.broadcast(eps), idc, "leftsemi"), idc
+                )
+                .select(idc, "root")
+            )
+        else:
+            state_assign = spark.createDataFrame([], _assign_t(idc))
+        # HISTORY endpoints with no assignment row yet (pairs fed from a
+        # source that predates this handler): they join the log now,
+        # rooted at themselves until the merge below relabels them. Batch
+        # ids are excluded — their row is written by new_assign below.
+        missing = (
+            eps.join(state_assign.select(idc), idc, "left_anti")
+            .join(ids, idc, "left_anti")
+            .select(idc, F.col(idc).alias("root"))
+        )
+        state_assign = self._resolve_aliases(
+            spark, state_assign, batch_id
+        ).localCheckpoint(eager=False)
+        known = state_assign.unionByName(missing)
+
+        # --- merge graph over current roots: batch-sized by construction
+        node_map = ids.select(
+            F.col(idc).alias("_n"), F.col(idc).alias("_r")
+        ).unionByName(known.select(F.col(idc).alias("_n"), F.col("root").alias("_r")))
+        edges = (
+            pr.join(
+                node_map.select(F.col("_n").alias("id_a"), F.col("_r").alias("_ra")),
+                "id_a",
+            )
+            .join(
+                node_map.select(F.col("_n").alias("id_b"), F.col("_r").alias("_rb")),
+                "id_b",
+            )
+            .select(F.col("_ra").alias("id_a"), F.col("_rb").alias("id_b"))
+        )
+        comp = connected_components(
+            edges, driver_threshold=self.driver_threshold
+        ).localCheckpoint(eager=False)
+
+        def final_root(df: DataFrame) -> DataFrame:
+            return (
+                df.join(comp.withColumnRenamed("id", "root"), "root", "left")
+                .select(
+                    *[c for c in df.columns if c != "root"],
+                    F.coalesce("cluster_id", "root").alias("root"),
+                )
+            )
+
+        # --- rows to persist
+        new_assign = final_root(ids.select(idc, F.col(idc).alias("root")))
+        first_seen = final_root(missing)
+        cassign_rows = new_assign.unionByName(first_seen)
+        # a retired root: an EXISTING root whose component gained a
+        # smaller member this batch. first_seen roots need no alias (their
+        # only reference is the cassign row written above, already final).
+        old_roots = state_assign.select(F.col("root").alias("old_root")).distinct()
+        calias_rows = (
+            old_roots.join(comp.withColumnRenamed("id", "old_root"), "old_root", "left")
+            .select(
+                "old_root", F.coalesce("cluster_id", "old_root").alias("new_root")
+            )
+            .filter(F.col("old_root") != F.col("new_root"))
+        )
+
+        def write_state(df: DataFrame, path: str, kb_col: str) -> None:
+            (
+                df.withColumn("_kb", self._kb_expr(kb_col))
+                .repartition(min(16, self.n_state_buckets), F.col("_kb"))
+                .write.mode("overwrite")
+                .partitionBy("_kb")
+                .parquet(_join_path(path, f"_batch_id={batch_id}"))
+            )
+
+        _run_parallel([
+            lambda: write_state(cassign_rows, self.cassign_path, idc),
+            lambda: write_state(calias_rows, self.calias_path, "old_root"),
+        ])
+
+    # -- reads --------------------------------------------------------------
+
+    def resolve(
+        self, spark: SparkSession, ids: DataFrame, *, before: int | None = None
+    ) -> DataFrame:
+        """(id, cluster_id) for the given ids — pruned point lookup (only
+        the ids' bucket dirs and the alias chains they touch are read).
+        Ids with no assignment row resolve to themselves (never-seen ids
+        are their own singleton cluster by definition)."""
+        idc = self.id_col
+        want = ids.select(F.col(idc).cast("string").alias(idc)).dropDuplicates([idc])
+        assign = self._history(
+            spark, self.cassign_path, before, self._bucket_ids(want, idc)
+        )
+        if assign is None:
+            return want.select(idc, F.col(idc).alias("cluster_id"))
+        found = self._dedupe_earliest(
+            assign.join(F.broadcast(want), idc, "leftsemi"), idc
+        ).select(idc, "root")
+        resolved = self._resolve_aliases(spark, found, before)
+        return (
+            want.join(resolved, idc, "left")
+            .select(idc, F.coalesce("root", F.col(idc)).alias("cluster_id"))
+        )
+
+    def current(
+        self, spark: SparkSession, *, before: int | None = None
+    ) -> DataFrame:
+        """Fully-resolved (id, cluster_id) over every id in state. This is
+        the corpus-wide read (reporting/compaction); per-batch paths use
+        the pruned ``resolve``/``update`` instead."""
+        idc = self.id_col
+        assign = self._history(spark, self.cassign_path, before, None)
+        if assign is None:
+            return spark.createDataFrame([], _assign_t(idc)).withColumnRenamed(
+                "root", "cluster_id"
+            )
+        assign = self._dedupe_earliest(assign, idc).select(idc, "root")
+        resolved = self._resolve_aliases(spark, assign, before, pruned=False)
+        # explicit projection: the alias join (when it ran) moved the
+        # join key to the front — column ORDER must not depend on state
+        return resolved.select(idc, F.col("root").alias("cluster_id"))
+
+
+def compact_clusters_state(
+    spark: SparkSession,
+    state_path: str,
+    out_path: str,
+    *,
+    upto_batch: int,
+    id_col: str = "clip_id",
+    n_state_buckets: int = 64,
+) -> None:
+    """Collapse the assignment log below ``upto_batch``: every alias chain
+    is applied, ``cassign`` is rewritten as ONE partition (rebadged to
+    ``upto_batch - 1``, keeping the ``_kb`` layout so pruned lookups still
+    prune) and the compacted ``calias`` becomes empty. Partitions >=
+    ``upto_batch`` (possibly replayable) pass through verbatim — the same
+    out-of-place contract as ``incremental_neardup.compact_state`` (swap
+    or pointer-commit the result)."""
+    ic = IncrementalClusters(
+        state_path, id_col=id_col, n_state_buckets=n_state_buckets
+    )
+    ic._check_meta(spark)
+    resolved = ic.current(spark, before=upto_batch).withColumnRenamed(
+        "cluster_id", "root"
+    )
+    kb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_state_buckets)).cast("int")
+    (
+        resolved.withColumn("_kb", kb)
+        .repartition(min(16, n_state_buckets), F.col("_kb"))
+        .write.mode("overwrite")
+        .partitionBy("_kb")
+        .parquet(_join_path(out_path, "cassign", f"_batch_id={upto_batch - 1}"))
+    )
+    # all chains were applied above -> the compacted alias log is empty.
+    # Write the 0-row frame STRAIGHT INTO an explicit hive dir (an empty
+    # partitionBy write emits no files at all, and readers of the base
+    # path would then hit UNABLE_TO_INFER_SCHEMA instead of "no aliases")
+    (
+        spark.createDataFrame([], _ALIAS_T)
+        .write.mode("overwrite")
+        .parquet(_join_path(out_path, "calias", f"_batch_id={upto_batch - 1}", "_kb=0"))
+    )
+    for sub in ("cassign", "calias"):
+        df = _read_optional(spark, _join_path(state_path, sub))
+        if df is None:
+            continue
+        newer = df.filter(F.col("_batch_id") >= upto_batch)
+        if newer.isEmpty():
+            continue
+        newer.write.mode("append").partitionBy("_batch_id", "_kb").parquet(
+            _join_path(out_path, sub)
+        )
+    fs, src = _hadoop_fs(spark, _join_path(state_path, "meta", "meta.json"))
+    if fs.exists(src):
+        dst_fs, dst = _hadoop_fs(spark, _join_path(out_path, "meta", "meta.json"))
+        spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, src, dst_fs, dst, False, spark._jsc.hadoopConfiguration()
+        )

@@ -1,0 +1,202 @@
+"""Incremental cluster maintenance (streaming/incremental_clusters.py):
+log-structured union-find whose fully-resolved assignments must equal the
+batch connected-components result over the union of all batches' pairs,
+whatever the arrival order — plus the layout contracts (pruned lookups,
+replay idempotence, alias-chain compaction)."""
+
+from pyspark.sql import functions as F
+
+from cc_net_spark.operators.connected_components import (
+    assign_clusters,
+    connected_components,
+)
+from cc_net_spark.streaming.incremental_clusters import (
+    IncrementalClusters,
+    compact_clusters_state,
+)
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "clip_id string")
+
+
+def _pairs(spark, pairs):
+    if not pairs:
+        return spark.createDataFrame([], "id_a string, id_b string")
+    return spark.createDataFrame(list(pairs), "id_a string, id_b string")
+
+
+# three batches engineered to retire roots twice: batch 0 clusters {b,c}
+# under root b; batch 1 merges {a,d} in via c (root -> a, alias b->a);
+# batch 2 attaches "0" (string-min) via c again (root -> 0, alias a->0) —
+# resolving c's original row then needs the 2-hop chain b->a->0.
+BATCHES = [
+    (["b", "c", "x"], [("b", "c")]),
+    (["a", "d"], [("a", "c"), ("d", "c")]),
+    (["0", "z"], [("0", "c")]),
+]
+
+
+def _run_batches(spark, state, batches=BATCHES):
+    ic = IncrementalClusters(state, n_state_buckets=8)
+    for bid, (ids, pairs) in enumerate(batches):
+        ic.update(_ids(spark, ids), _pairs(spark, pairs), bid)
+    return ic
+
+
+def _batch_truth(spark, batches=BATCHES):
+    all_ids = _ids(spark, [i for ids, _ in batches for i in ids])
+    all_pairs = _pairs(spark, [p for _, ps in batches for p in ps])
+    comp = connected_components(all_pairs, driver_threshold=2_000_000)
+    return {
+        r["clip_id"]: r["cluster_id"]
+        for r in assign_clusters(all_ids, comp, "clip_id").collect()
+    }
+
+
+def test_incremental_equals_batch_cc_with_alias_chains(spark, tmp_path):
+    ic = _run_batches(spark, str(tmp_path / "state"))
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == _batch_truth(spark)
+    # the scenario really exercised a 2-hop chain: both retirements exist
+    alias = spark.read.parquet(str(tmp_path / "state" / "calias"))
+    chains = {(r["old_root"], r["new_root"]) for r in alias.collect()}
+    assert ("b", "a") in chains and ("a", "0") in chains
+    # singletons kept their own id
+    assert got["x"] == "x" and got["z"] == "z"
+
+
+def test_resolve_is_pruned_point_lookup(spark, tmp_path):
+    state = str(tmp_path / "state")
+    ic = _run_batches(spark, state)
+    # point lookup resolves through the alias chain
+    out = {
+        r["clip_id"]: r["cluster_id"]
+        for r in ic.resolve(spark, _ids(spark, ["c", "x", "never-seen"])).collect()
+    }
+    assert out == {"c": "0", "x": "x", "never-seen": "never-seen"}
+    # layout contract: a single-id lookup's cassign read prunes the file
+    # index on BOTH hive levels (PartitionFilters, not row filtering)
+    import io
+    from contextlib import redirect_stdout
+
+    kbs = ic._bucket_ids(_ids(spark, ["c"]), "clip_id")
+    assert len(kbs) == 1
+    hist = ic._history(spark, ic.cassign_path, 99, kbs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hist.explain("formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and "_kb" in pf[0] and "_batch_id" in pf[0], buf.getvalue()
+    on_disk = {
+        f.split("_kb=")[1].split("/")[0]
+        for f in spark.read.parquet(ic.cassign_path).inputFiles()
+    }
+    assert len(on_disk) > 1  # there really were sibling buckets to skip
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    ic = _run_batches(spark, state)
+    before = sorted(map(tuple, ic.current(spark).collect()))
+    # at-least-once redelivery of the LAST batch: same inputs, same batch id
+    ids, pairs = BATCHES[-1]
+    ic.update(_ids(spark, ids), _pairs(spark, pairs), len(BATCHES) - 1)
+    after = sorted(map(tuple, ic.current(spark).collect()))
+    assert after == before
+
+
+def test_compaction_collapses_chains_and_preserves_results(spark, tmp_path):
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "compacted")
+    ic = _run_batches(spark, state)
+    want = sorted(map(tuple, ic.current(spark).collect()))
+    compact_clusters_state(
+        spark, state, out, upto_batch=len(BATCHES), n_state_buckets=8
+    )
+    ic2 = IncrementalClusters(out, n_state_buckets=8)
+    assert sorted(map(tuple, ic2.current(spark).collect())) == want
+    # every alias chain was applied away
+    alias = spark.read.parquet(f"{out}/calias")
+    assert alias.count() == 0
+    # compacted assignments live in ONE rebadged partition, still bucketed
+    batches = {
+        f.split("_batch_id=")[1].split("/")[0]
+        for f in spark.read.parquet(f"{out}/cassign").inputFiles()
+    }
+    assert batches == {str(len(BATCHES) - 1)}
+    # and a later batch folds into the compacted state seamlessly —
+    # "!" sorts below "0", so the compacted root must be retired via a
+    # fresh post-compaction alias
+    ic2.update(_ids(spark, ["!"]), _pairs(spark, [("!", "c")]), len(BATCHES))
+    got = {r["clip_id"]: r["cluster_id"] for r in ic2.current(spark).collect()}
+    truth = _batch_truth(spark, BATCHES + [(["!"], [("!", "c")])])
+    assert got == truth and got["c"] == "!"
+
+
+def test_arrival_order_does_not_change_labels(spark, tmp_path):
+    reordered = [BATCHES[2], BATCHES[0], BATCHES[1]]
+    ic = _run_batches(spark, str(tmp_path / "state"), reordered)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == _batch_truth(spark)
+
+
+def test_mismatched_bucket_count_is_rejected(spark, tmp_path):
+    import pytest
+
+    state = str(tmp_path / "state")
+    _run_batches(spark, state)
+    bad = IncrementalClusters(state, n_state_buckets=16)
+    with pytest.raises(ValueError, match="n_state_buckets"):
+        bad.update(_ids(spark, ["q"]), _pairs(spark, []), 99)
+
+
+def test_neardup_pairs_feed_clusters_end_to_end(spark, tmp_path):
+    """Wire the real near-dup handler's per-batch pairs into the cluster
+    state and check the resolved clusters equal batch CC over the union
+    of everything the handler emitted."""
+    from cc_net_spark.streaming.incremental_neardup import IncrementalNearDup
+
+    texts = {
+        # batch 0: two exact twins + a singleton
+        "a1": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "a2": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "s1": "completely different words about an unrelated topic entirely",
+        # batch 1: matches history (a1/a2) + its own twin pair
+        "b1": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "c1": "one two three four five six seven eight nine ten eleven",
+        "c2": "one two three four five six seven eight nine ten eleven",
+    }
+    batches = [["a1", "a2", "s1"], ["b1", "c1", "c2"]]
+    nd = IncrementalNearDup(
+        str(tmp_path / "nd_state"), str(tmp_path / "nd_out"),
+        text_col="text", id_col="clip_id",
+        families=("minhash", "exact"), n_state_buckets=8,
+    )
+    ic = IncrementalClusters(str(tmp_path / "c_state"), n_state_buckets=8)
+    for bid, ids in enumerate(batches):
+        df = spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "clip_id string, text string"
+        )
+        nd.process_batch(df, bid)
+        pairs = (
+            spark.read.parquet(str(tmp_path / "nd_out" / "pairs"))
+            .filter(F.col("_batch_id") == bid)
+            .select("id_a", "id_b")
+        )
+        ic.update(df.select("clip_id"), pairs, bid)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    all_pairs = spark.read.parquet(str(tmp_path / "nd_out" / "pairs")).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(all_pairs)
+    truth = {
+        r["clip_id"]: r["cluster_id"]
+        for r in assign_clusters(
+            _ids(spark, [i for ids in batches for i in ids]), comp, "clip_id"
+        ).collect()
+    }
+    assert got == truth
+    assert got["b1"] == got["a1"] == got["a2"] == "a1"
+    assert got["c2"] == got["c1"] == "c1"
+    assert got["s1"] == "s1"
