@@ -30,3 +30,20 @@ def test_worker_dir_is_stable_across_calls(monkeypatch, tmp_path):
         bench.make_spark(bench.EXEC_CORES + 1, executors=True)
     assert os.environ["SPARK_WORKER_DIR"] == first
     assert os.path.isdir(first)
+
+
+def test_raw_eff_best_of_per_leg():
+    """The adaptive top-up decides on best-of-per-leg efficiency: each
+    leg's min sample, so extra reps are monotone (can only move a leg
+    toward its reproducible floor)."""
+    legs = {2: [{"seconds": 100.0}, {"seconds": 80.0}],
+            8: [{"seconds": 50.0}, {"seconds": 25.0}]}
+    # best lo=80, best hi=25 -> (80/25)/4 = 0.8
+    assert bench._raw_eff(legs, 2, 8) == pytest.approx(0.8)
+
+
+def test_scaling_topup_knobs_parse():
+    """SPARK_GRAFT_SCALING_TARGET / _BUDGET must exist with sane
+    defaults: target inside (0,1], budget >= 0 (0 disables top-up)."""
+    assert 0.0 < bench.SCALING_TARGET <= 1.0
+    assert bench.SCALING_TOPUP_BUDGET >= 0.0
