@@ -301,6 +301,7 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
         "spin_ops_per_sec": round(spin),
         "membw_bytes_per_sec": round(membw),
         "keep_shingles": os.environ["SPARK_GRAFT_KEEP_SHINGLES"] == "1",
+        "int_ids": os.environ.get("SPARK_GRAFT_INT_IDS", "0") == "1",
         "dup_pair_recall": quality["dup_pair_recall"],
         "mode": SCALE_MODE,
         **(
@@ -353,7 +354,11 @@ def control_job(spark: SparkSession, n_tasks: int = CONTROL_TASKS) -> int:
 
 
 def cluster_job(
-    spark: SparkSession, clips_path: str, fused: bool = True, workdir: str | None = None
+    spark: SparkSession,
+    clips_path: str,
+    fused: bool = True,
+    workdir: str | None = None,
+    int_ids: bool | None = None,
 ) -> int:
     """The headline near-dup clustering job — the REAL product pipeline
     (StageRunner DAG: signatures -> LSH/verify -> exact -> substring ->
@@ -392,6 +397,19 @@ def cluster_job(
             max_parallel_stages=int(
                 os.environ.get("SPARK_GRAFT_STAGE_PARALLEL", "0")
             ) or max(1, min(4, spark.sparkContext.defaultParallelism // 2)),
+            # fixed-width surrogate ids through the pair families + CC
+            # (see NearDupConfig.int_ids). Headline passes True (the
+            # max-throughput config: best-of -20% at 32 cores); the
+            # scaling legs default to the string-id basis every prior
+            # round recorded — int_ids speeds the SCALABLE work, which
+            # the efficiency RATIO punishes even as both legs get faster
+            # (measured best-of: lo -12%, hi -3.5%). SPARK_GRAFT_INT_IDS
+            # overrides either way.
+            int_ids=(
+                os.environ.get("SPARK_GRAFT_INT_IDS", "0") == "1"
+                if int_ids is None
+                else int_ids
+            ),
         )
         clusters, _ = run_near_dup_pipeline(spark, clips_path, workdir, cfg)
         return clusters.count()
@@ -671,9 +689,13 @@ def main() -> None:
         # rep 2 of the clustering pipeline needs a FRESH workdir — the
         # StageRunner would otherwise resume every stage from rep 1's
         # checkpoints and time a no-op
+        headline_int_ids = os.environ.get("SPARK_GRAFT_INT_IDS", "1") == "1"
+        extras["headline_int_ids"] = headline_int_ids
+
         def headline_rep(rep: int) -> int:
             return cluster_job(
-                spark, clips_path, True, os.path.join(tmp, f"headline_stages_{rep}")
+                spark, clips_path, True, os.path.join(tmp, f"headline_stages_{rep}"),
+                int_ids=headline_int_ids,
             )
 
         reps_n = []

@@ -108,6 +108,24 @@ class NearDupConfig:
     # edges stage is the single materialization protecting CC's sizing
     # count from recomputing all four pair families).
     fold_edges: bool = True
+    # int_ids: run the pair families + CC over a FIXED-WIDTH surrogate id
+    # (sid = xxhash64(clip_id), added JVM-side to the signatures table)
+    # instead of the string clip_id, mapping back to strings in one
+    # long-keyed join at the clusters stage. Variable-width string keys
+    # pay per-row length-prefixed compares in every SMJ sort and hash in
+    # every exchange of every band/gram/pair table — the job's dominant
+    # shuffled rows (measured: the substring pair stage alone runs ~20%
+    # faster on long ids at 120k clips; shuffle BYTES barely move there
+    # only because the synthetic "clip-%09d" ids are maximally
+    # lz4-compressible — real-world URL/UUID ids are not). Collision
+    # math at 10^12 clips: ~N^2/2^65 ≈ 27 expected colliding id pairs,
+    # each spuriously merging two docs — the same risk class as the
+    # reference's 64-bit sha1 doc keys (cc_net/flat_hash_set.py).
+    # Output schema becomes (clip_id string, cluster_id long) — cluster
+    # labels are min-sid per component (deterministic; label-agnostic
+    # consumers only). Default off: the driver gate queries assert
+    # min-string labels.
+    int_ids: bool = False
 
 
 def build_stages(
@@ -132,25 +150,41 @@ def build_stages(
 
     def stage_signatures(spark: SparkSession) -> DataFrame:
         # THE one corpus scan: every downstream pair family reads this table
-        return fused_signatures(
+        sig = fused_signatures(
             load_clips(spark), txt, idc,
             shingle_size=cfg.shingle_size, num_perm=cfg.num_perm,
             keep_shingles=cfg.keep_shingles,
             substring_length=cfg.substring_length,
             winnow_window=cfg.winnow_window,
         )
+        if cfg.int_ids:
+            # surrogate id, JVM-side (whole-stage codegen, no UDF cost);
+            # 8 bytes/row in the signatures parquet
+            sig = sig.withColumn("sid", F.xxhash64(F.col(idc)))
+        return sig
+
+    def pair_view(signatures: DataFrame) -> DataFrame:
+        """The signatures table as the pair families consume it: with
+        int_ids, the string id column is swapped for the sid surrogate
+        under the SAME column name, so every downstream stage is
+        id-type-agnostic."""
+        if cfg.int_ids:
+            return signatures.drop(idc).withColumnRenamed("sid", idc)
+        return signatures
 
     def stage_exact_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
         # full-transcript exact duplicates under normalize_for_dedup:
         # bucket = tkey (sha1-u64 of the whole normalized transcript),
         # already computed by the fused signature scan
         # signatures is one row per id -> (tkey, id) unique by construction
+        signatures = pair_view(signatures)
         return candidate_pairs(
             signatures.select(idc, "tkey"), ["tkey"], idc,
             bucket_cap=cfg.bucket_cap, assume_unique=True,
         )
 
     def stage_minhash_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
+        signatures = pair_view(signatures)
         cand = mh.minhash_candidate_pairs(
             signatures, idc,
             bands=cfg.bands, rows_per_band=cfg.rows_per_band, bucket_cap=cfg.bucket_cap,
@@ -182,7 +216,7 @@ def build_stages(
         # with_metrics="observe": drop counters computed inside the stage
         # write itself (no second scan of the band table, no extra job)
         pairs, resolve = sh.simhash_candidate_pairs(
-            signatures.select(idc, "simhash"), idc,
+            pair_view(signatures).select(idc, "simhash"), idc,
             max_hamming=cfg.max_hamming,
             bucket_cap=max(2, cfg.bucket_cap // 4),
             drop_above=cfg.bucket_cap,
@@ -194,7 +228,7 @@ def build_stages(
     def stage_substring_pairs(spark: SparkSession, signatures: DataFrame) -> DataFrame:
         # grams are np.unique/winnowed per doc and signatures is one row
         # per id -> (gram, id) unique by construction
-        grams = signatures.select(idc, F.explode("grams").alias("gram"))
+        grams = pair_view(signatures).select(idc, F.explode("grams").alias("gram"))
         return candidate_pairs(
             grams, ["gram"], idc, bucket_cap=cfg.gram_cap, assume_unique=True
         )
@@ -211,7 +245,14 @@ def build_stages(
             clips, idc, bucket_cap=cfg.bucket_cap, min_snr_db=cfg.audio_min_snr_db,
             with_metrics="observe",
         )
-        return pairs.select("id_a", "id_b"), {"pairgen": lambda: resolve().__dict__}
+        out = pairs.select("id_a", "id_b")
+        if cfg.int_ids:
+            # audio pairs carry string clip ids; map into sid space
+            # JVM-side so the edge union is type-homogeneous
+            out = out.select(
+                F.xxhash64("id_a").alias("id_a"), F.xxhash64("id_b").alias("id_b")
+            )
+        return out, {"pairgen": lambda: resolve().__dict__}
 
     def stage_edges(
         spark: SparkSession,
@@ -256,6 +297,19 @@ def build_stages(
             edge_count=edge_count,
             checkpoint_dir=cfg.cc_checkpoint_dir,
         )
+        if cfg.int_ids:
+            # comp is in sid space; recompute each clip's sid JVM-side
+            # (no dict join) and map back in ONE long-keyed left join —
+            # comp holds only edge-touched nodes, singletons coalesce to
+            # their own sid. cluster_id stays the long min-sid label.
+            ids = load_clips(spark).select(
+                idc, F.xxhash64(F.col(idc)).alias("_sid")
+            )
+            joined = ids.join(comp.withColumnRenamed("id", "_sid"), "_sid", "left")
+            return joined.select(
+                F.col(idc),
+                F.coalesce("cluster_id", F.col("_sid")).alias("cluster_id"),
+            )
         ids = load_clips(spark).select(idc)
         return assign_clusters(ids, comp, idc)
 
@@ -286,9 +340,12 @@ def build_stages(
         return _cluster_edges(spark, edges, edge_count)
 
     def dup_ratio(df: DataFrame) -> dict:
+        # with int_ids the cluster label lives in sid space — compare
+        # against the clip's own sid, not the string id
+        own = F.xxhash64(F.col(idc)) if cfg.int_ids else F.col(idc)
         agg = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("cluster_id") != F.col(idc)).cast("long")).alias("nondup_root"),
+            F.sum((F.col("cluster_id") != own).cast("long")).alias("nondup_root"),
         ).collect()[0]
         n_clusters = df.select("cluster_id").distinct().count()
         return {"n_rows": agg["n"], "n_clusters": n_clusters}

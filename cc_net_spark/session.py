@@ -33,7 +33,16 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
+        # SPARK_GRAFT_AQE=false is an A/B knob only: every AQE query
+        # stage is a driver-barrier job (measured 46 vs 23 jobs on the
+        # staged pipeline), so the flag isolates how much of a leg's
+        # fixed cost is AQE materialization latency. Default stays on —
+        # runtime broadcast promotion / skew splitting / coalescing are
+        # the 100 TB safety nets.
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

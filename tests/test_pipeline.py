@@ -312,3 +312,47 @@ def test_stage_load_and_table_open_launch_zero_jobs(spark, tmp_path):
     assert df.schema == inferred_ext
     assert n_jobs() == j0, "parquet_meta.read_parquet launched a Spark job"
     assert df.count() == 8
+
+
+def test_int_ids_matches_string_id_partition(spark, clips_path, tmp_path):
+    """int_ids runs the pair families + CC over xxhash64 surrogate longs
+    and maps back at the clusters stage. Labels differ by design (min-sid
+    member vs min-string member), so compare the PARTITIONS: the set of
+    member-sets must be identical, every clip present, cluster_id long."""
+    base, _ = run_near_dup_pipeline(spark, clips_path, str(tmp_path / "ws"), CFG)
+    int_cfg = NearDupConfig(
+        **{**CFG.__dict__, "int_ids": True, "include_exact_hashes": False}
+    )
+    ints, _ = run_near_dup_pipeline(spark, clips_path, str(tmp_path / "wi"), int_cfg)
+    assert dict(ints.dtypes)["cluster_id"] == "bigint"
+
+    def parts(df):
+        groups = {}
+        for r in df.collect():
+            groups.setdefault(r["cluster_id"], set()).add(r["clip_id"])
+        return {frozenset(v) for v in groups.values()}
+
+    assert parts(ints) == parts(base)
+    assert ints.count() == N
+
+
+def test_int_ids_with_audio_pass_partition_parity(spark, clips_path, tmp_path):
+    """With int_ids the audio stage's string pairs are mapped into sid
+    space JVM-side; the fused graph must partition identically to the
+    planted clusters."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, int_ids=True, include_audio_pass=True,
+                  include_exact_hashes=False)
+    clusters, manifests = run_near_dup_pipeline(
+        spark, clips_path, str(tmp_path / "work_audio_int"), cfg
+    )
+    assert "audio_pairs" in manifests
+
+    groups = {}
+    for r in clusters.collect():
+        groups.setdefault(r["cluster_id"], set()).add(r["clip_id"])
+    exp = {}
+    for r in synth.expected_clusters(spark, N).collect():
+        exp.setdefault(r["cluster_id"], set()).add(r["clip_id"])
+    assert {frozenset(v) for v in groups.values()} == {frozenset(v) for v in exp.values()}
