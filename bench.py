@@ -302,6 +302,8 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
         "membw_bytes_per_sec": round(membw),
         "keep_shingles": os.environ["SPARK_GRAFT_KEEP_SHINGLES"] == "1",
         "int_ids": os.environ.get("SPARK_GRAFT_INT_IDS", "0") == "1",
+        "aqe": os.environ.get("SPARK_GRAFT_AQE", "true").lower()
+        not in ("0", "false", "no"),
         "dup_pair_recall": quality["dup_pair_recall"],
         "mode": SCALE_MODE,
         **(
@@ -565,25 +567,49 @@ def run_scaling(tmp: str) -> dict:
         return _raw_eff(l, lo_cores, hi_cores)
 
     # adaptive top-up (see SCALING_TARGET): one interleaved rep pair at a
-    # time, stopping as soon as the best-of efficiency clears the target
-    # or the wall budget is gone. min() per leg is monotone, so extra
-    # reps can only move each leg toward its reproducible floor.
+    # time while best-of efficiency is below target and budget remains.
+    # min() per leg is monotone, so extra reps can only move each leg
+    # toward its reproducible floor. Two guards against bias/corruption:
+    # (a) optional-stopping bias — stopping at the FIRST target crossing
+    # would systematically record a favorable excursion (the hi leg's min
+    # typically bottoms out before the lo leg's), so a crossing must
+    # survive one CONFIRMATION pair before the loop stops; (b) a pair
+    # that fails between its lo and hi legs would leave an orphan lo
+    # sample with no matched-window hi counterpart — each pair runs into
+    # a scratch dict and merges only on full-pair success.
     topup_reps = 0
     t_topup0 = time.time()
-    while (
-        SCALING_TOPUP_BUDGET > 0
-        and raw_eff(legs) < SCALING_TARGET
-        and time.time() - t_topup0 < SCALING_TOPUP_BUDGET
-    ):
+
+    def _budget_left() -> bool:
+        return (
+            SCALING_TOPUP_BUDGET > 0
+            and time.time() - t_topup0 < SCALING_TOPUP_BUDGET
+        )
+
+    def _topup_pair() -> bool:
+        """One interleaved rep pair into a scratch dict, merged only on
+        full-pair success (guard b). Returns False on failure."""
+        nonlocal legs, topup_reps
+        attempt = {c: list(v) for c, v in legs.items()}
         try:
-            run_block(mode, reps=1, legs=legs)
+            run_block(mode, reps=1, legs=attempt)
         except RuntimeError as exc:
-            # a top-up leg failure must not kill an artifact the base
-            # reps already earned
-            print(f"scaling top-up rep failed (keeping base reps): {exc}",
+            print(f"scaling top-up rep failed (keeping prior reps): {exc}",
                   file=sys.stderr)
-            break
+            return False
+        legs = attempt
         topup_reps += 1
+        return True
+
+    while _budget_left() and raw_eff(legs) < SCALING_TARGET:
+        if not _topup_pair():
+            break
+        if raw_eff(legs) >= SCALING_TARGET and _budget_left():
+            # guard (a): a crossing achieved DURING top-up must survive
+            # one confirmation pair, else the loop keeps converging —
+            # base-rep crossings never enter this loop at all
+            if not _topup_pair():
+                break
     scaling: dict = {}
     best: dict[int, dict] = {}
     for cores, key in ((lo_cores, "lo"), (hi_cores, "hi")):
@@ -691,6 +717,9 @@ def main() -> None:
         # checkpoints and time a no-op
         headline_int_ids = os.environ.get("SPARK_GRAFT_INT_IDS", "1") == "1"
         extras["headline_int_ids"] = headline_int_ids
+        extras["aqe"] = os.environ.get("SPARK_GRAFT_AQE", "true").lower() not in (
+            "0", "false", "no",
+        )
 
         def headline_rep(rep: int) -> int:
             return cluster_job(

@@ -215,6 +215,13 @@ class Stage:
     external_inputs: list[str] = field(default_factory=list)
     # optional callable computing extra metrics from the materialized output
     metrics_fn: Callable[[DataFrame], dict] | None = None
+    # config fingerprint: a string naming the build-parameter choices that
+    # change this stage's OUTPUT for identical input data (e.g.
+    # "int_ids=True"). Content fingerprints cannot see a pure config flip,
+    # so a resumed workdir would otherwise silently serve a table built
+    # under the other configuration. None (the default) matches manifests
+    # written before this field existed.
+    params: str | None = None
 
 
 class StageRunner:
@@ -271,6 +278,8 @@ class StageRunner:
             if m.get("snapshot_id") != self._table(stage.name).current_snapshot_id():
                 return False
         elif not (self.data_path(stage.name) / "_SUCCESS").exists():
+            return False
+        if m.get("params") != stage.params:
             return False
         expected = {i: self._fingerprint(i) for i in stage.inputs}
         if m.get("input_fingerprints", {}) != expected:
@@ -432,6 +441,7 @@ class StageRunner:
             "fingerprint": fingerprint_listing(partitions),
             "schema": schema_json,
             "metrics": extra,
+            **({"params": st.params} if st.params is not None else {}),
             **({"snapshot_id": snapshot_id} if snapshot_id is not None else {}),
         }
         self.manifest_path(st.name).write_text(json.dumps(manifest, indent=2))

@@ -340,13 +340,7 @@ def build_stages(
         return _cluster_edges(spark, edges, edge_count)
 
     def dup_ratio(df: DataFrame) -> dict:
-        # with int_ids the cluster label lives in sid space — compare
-        # against the clip's own sid, not the string id
-        own = F.xxhash64(F.col(idc)) if cfg.int_ids else F.col(idc)
-        agg = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("cluster_id") != own).cast("long")).alias("nondup_root"),
-        ).collect()[0]
+        agg = df.agg(F.count(F.lit(1)).alias("n")).collect()[0]
         n_clusters = df.select("cluster_id").distinct().count()
         return {"n_rows": agg["n"], "n_clusters": n_clusters}
 
@@ -378,7 +372,8 @@ def build_stages(
     if cfg.fused_pairs:
         return [
             *head,
-            Stage("signatures", stage_signatures, external_inputs=ext),
+            Stage("signatures", stage_signatures, external_inputs=ext,
+              params="int_ids=True" if cfg.int_ids else None),
             # the fused edges stage reads only the signatures table for the
             # text families; the audio pass (if enabled) reads clips too
             Stage("edges", stage_edges_fused, inputs=["signatures"], external_inputs=ext),
@@ -423,7 +418,8 @@ def build_stages(
     )
     return [
         *head,
-        Stage("signatures", stage_signatures, external_inputs=ext),
+        Stage("signatures", stage_signatures, external_inputs=ext,
+              params="int_ids=True" if cfg.int_ids else None),
         Stage("exact_pairs", stage_exact_pairs, inputs=["signatures"]),
         Stage("minhash_pairs", stage_minhash_pairs, inputs=["signatures"]),
         Stage("simhash_pairs", stage_simhash_pairs, inputs=["signatures"]),

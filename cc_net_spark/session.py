@@ -41,7 +41,12 @@ def get_spark(
         # the 100 TB safety nets.
         .config(
             "spark.sql.adaptive.enabled",
-            os.environ.get("SPARK_GRAFT_AQE", "true"),
+            # normalize to the strict boolean Spark demands: accept the
+            # repo-wide 0/1 convention as well as true/false
+            "false"
+            if os.environ.get("SPARK_GRAFT_AQE", "true").lower()
+            in ("0", "false", "no")
+            else "true",
         )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

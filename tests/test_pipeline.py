@@ -356,3 +356,23 @@ def test_int_ids_with_audio_pass_partition_parity(spark, clips_path, tmp_path):
     for r in synth.expected_clusters(spark, N).collect():
         exp.setdefault(r["cluster_id"], set()).add(r["clip_id"])
     assert {frozenset(v) for v in groups.values()} == {frozenset(v) for v in exp.values()}
+
+
+def test_int_ids_toggle_invalidates_resumed_workdir(spark, clips_path, tmp_path):
+    """Content fingerprints cannot see a pure config flip: without the
+    stage `params` field, re-running a completed string-id workdir with
+    int_ids=True would skip the signatures stage and silently serve
+    string-labeled clusters. The params mismatch must force a rebuild."""
+    work = str(tmp_path / "toggle")
+    base, m1 = run_near_dup_pipeline(spark, clips_path, work, CFG)
+    assert dict(base.dtypes)["cluster_id"] == "string"
+    int_cfg = NearDupConfig(
+        **{**CFG.__dict__, "int_ids": True, "include_exact_hashes": False}
+    )
+    ints, m2 = run_near_dup_pipeline(spark, clips_path, work, int_cfg)
+    assert not m2["signatures"].get("skipped"), "signatures stage must re-run"
+    assert dict(ints.dtypes)["cluster_id"] == "bigint"
+    # and flipping BACK invalidates again (params None != "int_ids=True")
+    back, m3 = run_near_dup_pipeline(spark, clips_path, work, CFG)
+    assert not m3["signatures"].get("skipped")
+    assert dict(back.dtypes)["cluster_id"] == "string"
