@@ -126,6 +126,21 @@ class NearDupConfig:
     # consumers only). Default off: the driver gate queries assert
     # min-string labels.
     int_ids: bool = False
+    # Input-contract enforcement for the documented "clip_id is a key"
+    # requirement (assume_unique pair paths and int_ids both rely on it;
+    # a violating corpus fails SILENTLY — dup ids corrupt bucket caps and
+    # pair dedup, null ids collapse onto one sid node under int_ids).
+    #   "observe"  (default): null-id count rides the signatures write as
+    #              an Observation — ZERO extra jobs/scans; any null id
+    #              fails the stage loudly, and the row count lands in the
+    #              stage manifest.
+    #   "strict":  additionally runs ONE count vs count(distinct) agg
+    #              over the id column before the pipeline and fails on
+    #              duplicates. A real (if bounded) extra aggregation at
+    #              10^12 rows — opt-in for corpora of unknown provenance.
+    #   "none":    trust the contract (the incremental handler, which
+    #              dedups its own batches, uses this).
+    validate_ids: str = "observe"
 
 
 def build_stages(
@@ -161,7 +176,38 @@ def build_stages(
             # surrogate id, JVM-side (whole-stage codegen, no UDF cost);
             # 8 bytes/row in the signatures parquet
             sig = sig.withColumn("sid", F.xxhash64(F.col(idc)))
-        return sig
+        if cfg.validate_ids == "none":
+            return sig
+        # null-id contract check riding the stage's own write action
+        # (validate_ids="observe"): zero extra jobs. The returned metric
+        # callable resolves AFTER the write and raises on violation —
+        # the stage fails loudly instead of feeding null ids downstream.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        sig = sig.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_ids"),
+            F.sum(F.col(idc).isNull().cast("long")).alias("null_ids"),
+        )
+
+        def _check() -> dict:
+            try:
+                m = dict(obs.get)
+            except Exception:
+                # AQE empty-relation pruning can drop the observed
+                # subtree on an empty source — nothing to validate then
+                return {"n_ids": 0, "null_ids": 0}
+            if m.get("null_ids"):
+                raise ValueError(
+                    f"input violates the id contract: {m['null_ids']} NULL "
+                    f"{idc} values (clips table must have one non-null "
+                    f"{idc} per row; see NearDupConfig.validate_ids)"
+                )
+            m["null_ids"] = m.get("null_ids") or 0
+            return m
+
+        return sig, {"id_validation": _check}
 
     def pair_view(signatures: DataFrame) -> DataFrame:
         """The signatures table as the pair families consume it: with
@@ -479,6 +525,31 @@ def run_near_dup_pipeline(
     ``use_snapshots=True`` commits every stage through the snapshot table
     layer (atomic snapshots, time travel, Iceberg-shaped deployment)."""
     cfg = cfg or NearDupConfig()
+    if cfg.validate_ids == "strict":
+        # one aggregation over the id column, BEFORE any stage commits:
+        # duplicate ids silently corrupt every assume_unique pair path
+        # (see NearDupConfig.validate_ids). count_distinct is a real
+        # shuffle at corpus scale — that is the price of "strict".
+        from cc_net_spark.sources.parquet_meta import read_parquet
+
+        row = (
+            read_parquet(spark, clips_path)
+            .select(cfg.id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(cfg.id_col).alias("n_nonnull"),
+                F.countDistinct(cfg.id_col).alias("n_distinct"),
+            )
+            .collect()[0]
+        )
+        if row["n"] != row["n_nonnull"] or row["n_nonnull"] != row["n_distinct"]:
+            raise ValueError(
+                f"input violates the id contract: {row['n']} rows, "
+                f"{row['n'] - row['n_nonnull']} null and "
+                f"{row['n_nonnull'] - row['n_distinct']} duplicate "
+                f"{cfg.id_col} values (must be a unique non-null key; "
+                f"see NearDupConfig.validate_ids)"
+            )
     runner = StageRunner(spark, workdir, use_snapshots=use_snapshots)
     # pipeline-scoped scan-split tuning (see tuned_scan_conf): sized from
     # the source table; every stage scan (clips + materialized stage

@@ -376,3 +376,51 @@ def test_int_ids_toggle_invalidates_resumed_workdir(spark, clips_path, tmp_path)
     back, m3 = run_near_dup_pipeline(spark, clips_path, work, CFG)
     assert not m3["signatures"].get("skipped")
     assert dict(back.dtypes)["cluster_id"] == "string"
+
+
+def test_validate_ids_observe_fails_on_null_id(spark, tmp_path):
+    """The default observe-mode contract check rides the signatures write
+    (zero extra jobs) and must fail the stage loudly on a null id."""
+    import pandas as pd
+
+    src = str(tmp_path / "nullid.parquet")
+    pdf = pd.DataFrame({
+        "clip_id": ["a", None, "c"],
+        "transcript": ["x y z w v u t s", "p q r s t u v w", "m n o p q r s t"],
+    })
+    spark.createDataFrame(pdf).write.parquet(src)
+    with pytest.raises(Exception, match="NULL clip_id"):
+        run_near_dup_pipeline(
+            spark, src, str(tmp_path / "w"),
+            NearDupConfig(include_exact_hashes=False),
+        )
+
+
+def test_validate_ids_strict_fails_on_duplicate_id(spark, tmp_path):
+    """strict mode adds one count/count-distinct agg and fails BEFORE any
+    stage commits when the id column is not a key."""
+    import pandas as pd
+
+    src = str(tmp_path / "dupid.parquet")
+    pdf = pd.DataFrame({
+        "clip_id": ["a", "b", "b"],
+        "transcript": ["x y z w v u t s", "p q r s t u v w", "m n o p q r s t"],
+    })
+    spark.createDataFrame(pdf).write.parquet(src)
+    work = tmp_path / "wdup"
+    with pytest.raises(ValueError, match="duplicate"):
+        run_near_dup_pipeline(
+            spark, src, str(work),
+            NearDupConfig(include_exact_hashes=False, validate_ids="strict"),
+        )
+    assert not (work / "_manifest" / "signatures.json").exists()
+
+
+def test_validate_ids_observe_records_manifest_metric(spark, clips_path, tmp_path):
+    """On a clean corpus the observe check is invisible except for the
+    id_validation metric in the signatures manifest."""
+    _, m = run_near_dup_pipeline(
+        spark, clips_path, str(tmp_path / "wv"), CFG
+    )
+    v = m["signatures"]["metrics"]["id_validation"]
+    assert v == {"n_ids": N, "null_ids": 0}

@@ -39,7 +39,8 @@ def test_clustering_never_reads_audio_payload(spark, clips_path, tmp_path):
 
     cfg = NearDupConfig(fused_pairs=True, include_exact_hashes=False)
     stages = build_stages(clips_path, cfg)
-    sig_df = stages[0].build(spark)
+    built_sig = stages[0].build(spark)
+    sig_df = built_sig[0] if isinstance(built_sig, tuple) else built_sig
     plan = plan_of(sig_df)
     assert "bytes" not in plan, "signatures stage reads the audio payload"
     built = stages[1].build(spark, signatures=sig_df)
