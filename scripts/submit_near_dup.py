@@ -40,6 +40,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--force", action="store_true", help="ignore stage manifests")
     ap.add_argument("--snapshots", action="store_true",
                     help="commit stages through the snapshot table layer")
+    ap.add_argument("--int-ids", action="store_true",
+                    help="run pair families + CC over xxhash64 surrogate "
+                         "longs (fixed-width shuffle keys; cluster_id "
+                         "becomes the long min-sid label)")
+    ap.add_argument("--validate-ids", choices=["observe", "strict", "none"],
+                    default="observe",
+                    help="id-contract enforcement: observe = free null "
+                         "check on the signatures write (default), strict "
+                         "= + one count-distinct agg rejecting duplicates, "
+                         "none = trust upstream")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -59,6 +69,8 @@ def main(argv: list[str] | None = None) -> None:
         fused_pairs=args.fused,
         keep_shingles=args.keep_shingles,
         include_audio_pass=args.audio,
+        int_ids=args.int_ids,
+        validate_ids=args.validate_ids,
     )
     clusters, manifests = run_near_dup_pipeline(
         spark,

@@ -25,7 +25,7 @@ SPARK_SUBMIT = Path(__import__("pyspark").__file__).parent / "bin" / "spark-subm
 N = 80  # 10 groups of 8 roles: roles 0-4 cluster, 5-7 singletons
 
 
-def _submit(tmp_path, master: str, extra_conf: list[str] = ()):
+def _submit(tmp_path, master: str, extra_conf: list[str] = (), extra_args: list[str] = ()):
     zip_path = build_zip(tmp_path / "cc_net_spark.zip")
     driver = tmp_path / "submit_near_dup.py"
     shutil.copy(REPO / "scripts" / "submit_near_dup.py", driver)
@@ -51,6 +51,7 @@ def _submit(tmp_path, master: str, extra_conf: list[str] = ()):
             "--output", str(tmp_path / "clusters"),
             "--generate", str(N),
             "--fused",
+            *extra_args,
         ],
         cwd=tmp_path,
         env=env,
@@ -89,3 +90,11 @@ def test_spark_submit_multi_executor_local_cluster(tmp_path):
         "local-cluster[2,1,1536]",
         extra_conf=["--conf", "spark.executor.memory=1g"],
     )
+
+
+def test_spark_submit_int_ids_strict_validation(tmp_path):
+    """The deployment CLI's --int-ids (surrogate-long pair path) and
+    --validate-ids strict (pre-flight key check) flags work end-to-end
+    through a real spark-submit; cluster COUNTS are id-space-invariant."""
+    _submit(tmp_path, "local[2]",
+            extra_args=["--int-ids", "--validate-ids", "strict"])
