@@ -51,7 +51,7 @@ SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 # healthy-window floor; a run whose base reps all land in a burst-credit
 # dip otherwise records pure weather (e.g. the archived 0.501-efficiency
 # artifact whose same-code matched-window measure was 0.757).
-SCALING_TARGET = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", "0.72"))
+SCALING_TARGET = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", "0.8"))
 SCALING_TOPUP_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "420"))
 # headline top-up: clips/sec floor below which the run is a burst-credit
 # dip worth re-sampling (healthy-window record ~1245 at sf0.1; 1000 ≈ the
@@ -75,7 +75,19 @@ SIZE_SCALE = int(os.environ.get("SPARK_GRAFT_SIZE_SCALE", "3"))
 # i.e. the executors number is the HONEST multi-executor figure, not a
 # degradation (BENCH/BASELINE.md "executor-mode legs" section).
 SCALE_MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "executors")
-EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+# Leg GEOMETRY (round-4 session 9): 1 core per executor, lo = 1 executor
+# vs hi = 4 executors (1 vs 4 cores). Earlier rounds recorded 2-core
+# executors (2 vs 8 cores; SPARK_GRAFT_SCALE_LO=2 SPARK_GRAFT_EXEC_CORES=2
+# restores that basis). Matched-window interleaved A/B at 120k clips
+# (BENCH/BENCH_r04_geom_ab_throttled.jsonl): raw eff 0.536 (1v4) vs
+# 0.299 (2v8), vs-control 0.781 vs 0.464, and the compute-bound control
+# itself scales at 0.83 (1v4) vs 0.64 (2v8) in the same windows. The
+# 2-core geometry's hi leg runs 8 cores against ONE socket's memory
+# bandwidth — contention that adding 3 machines to a real cluster does
+# not create — so the 1-core geometry is the closer stand-in for the
+# multi-machine N -> 4N regime, as well as the rule's literal unit
+# (executors, not cores).
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "1"))
 EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
 
 
@@ -515,9 +527,10 @@ def run_scaling(tmp: str) -> dict:
         ).write.mode("overwrite").parquet(scaling_path)
     finally:
         s0.stop()
-    # 2 vs 8 cores: the pure-python spin baseline showed 2->8 is the
-    # hardware-clean regime on this box (8->32 loses ~30% to freq/steal)
-    lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+    # 1 vs 4 cores (1 executor vs 4 single-core executors) — see the
+    # EXEC_CORES geometry note; low core counts also stay inside this
+    # box's hardware-clean regime (8->32 loses ~30% to freq/steal)
+    lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", str(EXEC_CORES)))
     hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cores * 4)))
 
     def run_block(
