@@ -9,11 +9,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 bench = importlib.import_module("bench")
 
 
-def test_executor_leg_rejects_indivisible_core_count():
+def test_executor_leg_rejects_indivisible_core_count(monkeypatch):
     """Silently rounding cores to EXEC_CORES multiples would misreport
-    the scaling-efficiency denominator (a cores=1 leg would really run
-    a 2-core executor); the leg must refuse instead."""
-    assert bench.EXEC_CORES > 1  # guard is only meaningful then
+    the scaling-efficiency denominator (a cores=3 leg would really run
+    one 2-core executor); the leg must refuse instead. Pin the width to
+    2 — the default geometry is 1 core/executor, where every core count
+    divides and the guard is vacuous."""
+    monkeypatch.setattr(bench, "EXEC_CORES", 2)
     with pytest.raises(ValueError, match="not a multiple"):
         bench.make_spark(bench.EXEC_CORES + 1, executors=True)
 
@@ -22,6 +24,7 @@ def test_worker_dir_is_stable_across_calls(monkeypatch, tmp_path):
     """SPARK_WORKER_DIR must not leak a fresh temp dir per make_spark
     call; the indivisible-cores guard fires after the env setup, so the
     refused call still exercises the env path."""
+    monkeypatch.setattr(bench, "EXEC_CORES", 2)
     monkeypatch.delenv("SPARK_WORKER_DIR", raising=False)
     with pytest.raises(ValueError):
         bench.make_spark(bench.EXEC_CORES + 1, executors=True)
@@ -30,6 +33,14 @@ def test_worker_dir_is_stable_across_calls(monkeypatch, tmp_path):
         bench.make_spark(bench.EXEC_CORES + 1, executors=True)
     assert os.environ["SPARK_WORKER_DIR"] == first
     assert os.path.isdir(first)
+
+
+def test_default_geometry_is_single_core_executors():
+    """Round-4 session 9: the recorded scaling basis is 1 executor x 1
+    core vs 4 x 1 (geometry A/B in BENCH/BASELINE.md); EXEC_CORES=1
+    unless the env restores the historical 2-core basis."""
+    if "SPARK_GRAFT_EXEC_CORES" not in os.environ:
+        assert bench.EXEC_CORES == 1
 
 
 def test_raw_eff_best_of_per_leg():
