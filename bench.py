@@ -300,7 +300,15 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
     os.environ.setdefault("SPARK_GRAFT_KEEP_SHINGLES", "0")
     spin = spin_rate(cores)
     membw = membw_rate(cores)
-    fused = os.environ.get("SPARK_GRAFT_LEG_FUSED", "0") == "1"
+    # Legs default to the FUSED pipeline shape (one edges job unions the
+    # four pair families) — session-9 interleaved A/B at 120k clips,
+    # geometry 1x1 vs 4x1 executors (BENCH/BENCH_r04_fused_leg_ab.jsonl):
+    # fused won BOTH legs in BOTH reps (hi -17%: 50.2 vs 60.3 s; lo -4%)
+    # -> raw eff 0.601 vs 0.519 in the same throttled windows. The staged
+    # shape pays ~3 extra stage-table commits + manifest barriers that
+    # the fused union packs into one job. SPARK_GRAFT_LEG_FUSED=0
+    # restores the staged (resumable-stage) shape for A/Bs.
+    fused = os.environ.get("SPARK_GRAFT_LEG_FUSED", "1") == "1"
     executors = SCALE_MODE == "executors"
     spark = make_spark(cores, executors=executors)
     workdir = tempfile.mkdtemp(prefix=f"bench_leg_{cores}_")
