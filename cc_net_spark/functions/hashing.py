@@ -176,6 +176,27 @@ def simhash64(
 _ROLL_P = U64(1000003)  # odd -> invertible mod 2^64
 _ROLL_P_INV = U64(pow(1000003, -1, 1 << 64))
 
+# Power tables are input-independent (just powers of P / P^-1): computed
+# once per process and grown geometrically — the per-doc cumprods were
+# half of window_hashes' accumulate work.
+_pow_cache = np.array([1, 1000003], dtype=U64)
+_invpow_cache = np.array([_ROLL_P_INV], dtype=U64)
+
+
+def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(pows[0..n], invpows[0..n-1]) with pows[k] = P^k, invpows[j] = P^-(j+1)."""
+    global _pow_cache, _invpow_cache
+    if len(_pow_cache) < n + 1:
+        grow = max(n + 1, 2 * len(_pow_cache))
+        pows = np.empty(grow, dtype=U64)
+        pows[0] = 1
+        np.multiply.accumulate(np.full(grow - 1, _ROLL_P, dtype=U64), out=pows[1:])
+        _pow_cache = pows
+        _invpow_cache = np.multiply.accumulate(
+            np.full(grow - 1, _ROLL_P_INV, dtype=U64)
+        )
+    return _pow_cache, _invpow_cache
+
 
 def window_hashes(text: str, L: int) -> np.ndarray:
     """uint64 hashes of every length-L character window of `text`.
@@ -190,14 +211,10 @@ def window_hashes(text: str, L: int) -> np.ndarray:
     if n < L:
         return np.empty(0, dtype=U64)
     c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(U64)
-    # p^k and p^-(j+1) tables via cumprod (wraparound is fine: * is mod 2^64)
-    pows = np.empty(n + 1, dtype=U64)
-    pows[0] = 1
-    np.multiply.accumulate(np.full(n, _ROLL_P, dtype=U64), out=pows[1:])
-    invpows = np.multiply.accumulate(np.full(n, _ROLL_P_INV, dtype=U64))
+    pows, invpows = _pow_tables(n)
     s = np.zeros(n + 1, dtype=U64)
-    np.add.accumulate(c * invpows, out=s[1:])
-    prefix = pows * s
+    np.add.accumulate(c * invpows[:n], out=s[1:])
+    prefix = pows[: n + 1] * s
     return prefix[L:] - prefix[:-L] * pows[L]
 
 
@@ -268,4 +285,9 @@ def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
     pref = np.minimum.accumulate(blocks, axis=1).ravel()
     suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
     mins = np.minimum(suff[:m], pref[w - 1 : w - 1 + m])
-    return np.unique(mins)
+    # each selected minimum repeats over ~w consecutive windows — collapse
+    # the runs BEFORE the sort inside np.unique (~w-fold less sort work)
+    keep = np.empty(m, dtype=bool)
+    keep[0] = True
+    np.not_equal(mins[1:], mins[:-1], out=keep[1:])
+    return np.unique(mins[keep])
