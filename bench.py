@@ -228,8 +228,8 @@ def wait_for_window(
     label: str,
     *,
     procs: int = 8,
-    min_spin: float = 2.2e8,
-    min_membw: float = 1.0e9,
+    min_spin: float = 1.5e8,
+    min_membw: float = 3.0e9,
     attempts: int = 3,
 ) -> dict:
     """Probe-gate a timed section (round-3 verdict: the recorded bench
@@ -239,14 +239,19 @@ def wait_for_window(
     bandwidth; if the window is degraded, back off and retry. The LAST
     probe values are recorded in the output either way, so a run that
     never found a healthy window says so in the artifact instead of
-    silently publishing storm numbers. Spin threshold is ~85% of the
-    healthy measurement (spin(8) ~2.6e8 ops/s): a credit-drained window
-    measured spin 2.0-2.3e8 alongside 10x query-time spikes
-    (BENCH_r04_local_degraded.json), while healthy windows read
-    2.4-2.6e8. The membw threshold only catches true storms (the r3
-    artifact's 0.2e9 B/s class): calibration found mid-range probe
-    readings (1-2e9 B/s) co-occurring with fully healthy query times —
-    the probe is noisy below the storm floor. Snapshot probes cannot
+    silently publishing storm numbers.
+
+    Threshold calibration history: the original gate pinned spin to 85%
+    of the then-healthy 2.6e8 ops/s. Session 10 found the box's QUIET
+    spin baseline had drifted to ~1.8e8 while bandwidth read 26-27 GB/s
+    and leg wall-times were fully healthy — a gate pinned to the old CPU
+    baseline records in_range:false forever in the best bandwidth
+    windows on file. Spin is therefore a STORM floor now (1.5e8; quiet
+    readings this low alongside pinned membw are the genuine 2-6x-slow
+    windows). The membw floor moved 1e9 -> 3e9: the throttle pins the
+    8-proc probe to a quantized 0.85/1.28e9 band for minutes-to-hours
+    (the wall-time killer), and the old floor failed to exclude exactly
+    that band; healthy windows read 5-28e9. Snapshot probes cannot
     catch MID-RUN throttling; the interleaved best-of scaling legs are
     the defense there, and the recorded probes let a reader judge the
     window either way."""
