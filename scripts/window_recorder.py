@@ -81,17 +81,29 @@ with open(OUT, "a") as f:
         if not probe["healthy"]:
             time.sleep(180)
             continue
-        recs = {}
-        for cores in (LO, HI):
+        # The lo leg is near-deterministic on this box (127.6-127.7 s
+        # across every window grade today: a 1-core leg never approaches
+        # the throttle bucket's refill rate), while the hi leg swings
+        # 45-138 s with mid-leg bandwidth luck — ALL the measurement
+        # variance. Once the lo floor is established (>= WR_LO_SAMPLES
+        # samples), healthy windows are spent on extra hi samples
+        # (WR_HI_PER_PAIR per window) instead of re-measuring a constant.
+        # Every sample still lands in the artifact.
+        lo_done = len(legs[LO]) >= int(os.environ.get("WR_LO_SAMPLES", "2"))
+        plan = ([HI] if lo_done else [LO, HI]) * int(
+            os.environ.get("WR_HI_PER_PAIR", "1") if lo_done else 1
+        )
+        recs = []
+        for cores in plan:
             r = leg(cores)
             if r is None:
                 break
-            recs[cores] = r
+            recs.append((cores, r))
             print(json.dumps({"cores": cores, "sec": r["seconds"],
                               "membw": r["membw_bytes_per_sec"],
                               "recall": r["dup_pair_recall"]}), flush=True)
-        if len(recs) == 2:  # full-pair merge only (no orphan lo sample)
-            for cores, r in recs.items():
+        if len(recs) == len(plan):  # full-plan merge only (no orphan sample)
+            for cores, r in recs:
                 legs[cores].append(r)
                 f.write(json.dumps({"leg": r}) + "\n")
             f.flush()
