@@ -547,12 +547,15 @@ def run_scaling(tmp: str) -> dict:
     hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cores * 4)))
 
     def run_block(
-        mode: str, reps: int = SCALING_REPS, legs: dict[int, list[dict]] | None = None
+        mode: str,
+        reps: int = SCALING_REPS,
+        legs: dict[int, list[dict]] | None = None,
+        cores_list: tuple[int, ...] | None = None,
     ) -> dict[int, list[dict]]:
         legs = legs if legs is not None else {lo_cores: [], hi_cores: []}
         env = dict(os.environ, SPARK_GRAFT_SCALE_MODE=mode)
         for _rep in range(reps):
-            for cores in (lo_cores, hi_cores):
+            for cores in cores_list or (lo_cores, hi_cores):
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--leg", str(cores), scaling_path],
                     capture_output=True,
@@ -617,13 +620,33 @@ def run_scaling(tmp: str) -> dict:
             and time.time() - t_topup0 < SCALING_TOPUP_BUDGET
         )
 
+    def _lo_pinned() -> bool:
+        """True once the lo floor is established: >= 2 samples within 3%.
+
+        Session-10 measurement (BENCH/BENCH_r04_s10_recorder_120k.jsonl):
+        the 1-core leg is near-deterministic ACROSS window grades
+        (127.6-127.7 s, spread ~0.1%, membw probes 4.5-27 GB/s) because
+        it never approaches the throttle bucket's refill rate, while the
+        hi leg swings 45-138 s with mid-leg bandwidth luck — ALL the
+        pair-to-pair variance. Re-measuring a pinned constant wastes
+        ~60% of each top-up pair's budget; once pinned, top-up spends
+        the budget on hi samples only (every sample still lands in
+        all_seconds). If weather makes the lo leg vary, the spread check
+        fails and top-up reverts to full pairs."""
+        s = [l["seconds"] for l in legs[lo_cores]]
+        return len(s) >= 2 and (max(s) - min(s)) / min(s) < 0.03
+
     def _topup_pair() -> bool:
-        """One interleaved rep pair into a scratch dict, merged only on
-        full-pair success (guard b). Returns False on failure."""
+        """One interleaved rep pair — or a hi-only sample once the lo
+        floor is pinned — into a scratch dict, merged only on full
+        success (guard b). Returns False on failure."""
         nonlocal legs, topup_reps
         attempt = {c: list(v) for c, v in legs.items()}
         try:
-            run_block(mode, reps=1, legs=attempt)
+            run_block(
+                mode, reps=1, legs=attempt,
+                cores_list=(hi_cores,) if _lo_pinned() else None,
+            )
         except RuntimeError as exc:
             print(f"scaling top-up rep failed (keeping prior reps): {exc}",
                   file=sys.stderr)
