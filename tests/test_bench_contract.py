@@ -53,6 +53,77 @@ def test_raw_eff_best_of_per_leg():
     assert bench._raw_eff(legs, 2, 8) == pytest.approx(0.8)
 
 
+def _leg(cores, seconds, **over):
+    base = {
+        "cores": cores, "seconds": seconds, "n": 120000,
+        "control_seconds": 2.5, "spin_ops_per_sec": 2e8,
+        "membw_bytes_per_sec": 2e10, "keep_shingles": False,
+        "int_ids": False, "aqe": True, "dup_pair_recall": 1.0,
+        "mode": "executors", "executors": cores, "exec_cores": 1,
+    }
+    base.update(over)
+    return base
+
+
+def test_archived_floor_filters_and_aggregates(tmp_path, monkeypatch):
+    """archived_scaling_floor must take the per-leg min ONLY over legs
+    matching the live configuration — a faster leg from a different
+    corpus size, geometry, id basis, or with failed recall must not
+    leak into the floor."""
+    import json as _json
+
+    monkeypatch.setattr(bench, "N_SCALING", 120000)
+    monkeypatch.setattr(bench, "EXEC_CORES", 1)
+    for var in ("SPARK_GRAFT_KEEP_SHINGLES", "SPARK_GRAFT_INT_IDS",
+                "SPARK_GRAFT_AQE"):
+        monkeypatch.delenv(var, raising=False)
+    rows = [
+        {"probe": {"healthy": True}},          # non-leg rows are skipped
+        {"leg": _leg(1, 130.0)},
+        {"leg": _leg(1, 127.0)},               # lo floor
+        {"leg": _leg(4, 40.0)},
+        {"leg": _leg(4, 37.5)},                # hi floor
+        {"leg": _leg(4, 10.0, n=60000)},       # wrong corpus size
+        {"leg": _leg(4, 10.0, exec_cores=2)},  # wrong geometry
+        {"leg": _leg(4, 10.0, int_ids=True)},  # wrong id basis
+        {"leg": _leg(4, 10.0, dup_pair_recall=0.5)},  # failed recall
+        {"leg": _leg(4, 10.0, mode="threads")},       # wrong mode
+        {"summary": {"raw_eff": 0.99}},        # summaries are ignored
+    ]
+    p = tmp_path / "rec.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\nnot json\n")
+    (tmp_path / "ignored.json").write_text("{}")  # only .jsonl scanned
+    floor = bench.archived_scaling_floor(1, 4, "executors",
+                                         archive_dir=str(tmp_path))
+    assert floor == {
+        "lo_seconds": 127.0, "hi_seconds": 37.5,
+        "raw_efficiency": round((127.0 / 37.5) / 4, 3),
+        "hi_clips_per_sec": 3200.0, "n_clips": 120000,
+        "sources": ["rec.jsonl"],
+    }
+    # one leg missing -> no floor (never report a one-sided ratio)
+    p.write_text(_json.dumps({"leg": _leg(4, 37.5)}) + "\n")
+    assert bench.archived_scaling_floor(
+        1, 4, "executors", archive_dir=str(tmp_path)) is None
+    # missing dir -> None, not an exception
+    assert bench.archived_scaling_floor(
+        1, 4, "executors", archive_dir=str(tmp_path / "nope")) is None
+
+
+def test_archived_floor_real_artifacts(monkeypatch):
+    """The repo's own BENCH/ archive must yield a floor for the default
+    recorded configuration (geometry B executors at 120k) — this is the
+    evidence trail BENCH_r04's scaling row points at."""
+    for var in ("SPARK_GRAFT_KEEP_SHINGLES", "SPARK_GRAFT_INT_IDS",
+                "SPARK_GRAFT_AQE"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setattr(bench, "N_SCALING", 120000)
+    monkeypatch.setattr(bench, "EXEC_CORES", 1)
+    floor = bench.archived_scaling_floor(1, 4, "executors")
+    assert floor is not None and floor["sources"]
+    assert 0.0 < floor["raw_efficiency"] <= 1.0
+
+
 def test_scaling_topup_knobs_parse():
     """SPARK_GRAFT_SCALING_TARGET / _BUDGET must exist with sane
     defaults: target inside (0,1], budget >= 0 (0 disables top-up)."""
