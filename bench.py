@@ -290,6 +290,26 @@ def warm_workers(spark: SparkSession, cores: int) -> None:
     sig.groupBy((F.xxhash64("clip_id") % 8).alias("b")).count().collect()
 
 
+def _git_rev() -> str | None:
+    """Short commit hash of the repo the bench is running from, for
+    attribution inside leg records: best-of floors aggregated across
+    artifacts (archived_scaling_floor) can span code versions — a leg
+    floor from commit A paired with one from commit B measures the
+    session series, not a single build, and the hashes make that
+    legible. Best-effort (None outside a git checkout)."""
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return out.stdout.strip() or None
+    except Exception:
+        return None
+
+
 def run_leg(cores: int, clips_path: str, n: int) -> None:
     """Subprocess entry: one isolated JVM per scaling leg (a stopped-and-
     restarted context in the same process measurably degrades later legs).
@@ -336,6 +356,7 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
         not in ("0", "false", "no"),
         "dup_pair_recall": quality["dup_pair_recall"],
         "mode": SCALE_MODE,
+        "commit": _git_rev(),
         **(
             {"executors": max(1, cores // EXEC_CORES), "exec_cores": EXEC_CORES}
             if executors
@@ -602,6 +623,10 @@ def archived_scaling_floor(
         "hi_clips_per_sec": round(n_clips / hi, 1),
         "n_clips": n_clips,
         "sources": sorted(files),
+        # floors may come from different builds (legs recorded since
+        # session 11 carry their commit; older records show None)
+        "lo_commit": best[lo_cores].get("commit"),
+        "hi_commit": best[hi_cores].get("commit"),
     }
 
 

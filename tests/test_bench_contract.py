@@ -100,6 +100,7 @@ def test_archived_floor_filters_and_aggregates(tmp_path, monkeypatch):
         "raw_efficiency": round((127.0 / 37.5) / 4, 3),
         "hi_clips_per_sec": 3200.0, "n_clips": 120000,
         "sources": ["rec.jsonl"],
+        "lo_commit": None, "hi_commit": None,
     }
     # one leg missing -> no floor (never report a one-sided ratio)
     p.write_text(_json.dumps({"leg": _leg(4, 37.5)}) + "\n")
