@@ -107,6 +107,13 @@ def _neardup(argv: list[str]) -> None:
                    metavar="K",
                    help="after the trigger drains, auto-compact + swap "
                         "the state once it holds >= K batch partitions")
+    p.add_argument("--clusters-state", default=None, metavar="DIR",
+                   help="maintain incremental duplicate-CLUSTER state "
+                        "(log-structured union-find) here: after the "
+                        "trigger drains, every new output batch's pairs "
+                        "are folded in via pruned state lookups, so "
+                        "cluster assignments stay current batch-over-"
+                        "batch (streaming/incremental_clusters.py)")
     p.add_argument("--small-batch-mode", action="store_true",
                    help="low-latency planning for micro-batches: AQE off "
                         "+ driver-side state listings during each batch "
@@ -165,6 +172,15 @@ def _neardup(argv: list[str]) -> None:
     )
     print(f"neardup: processed available shards; outputs under {a.output} "
           f"(pairs/, flags/, metrics/), state under {a.state}")
+    if a.clusters_state is not None:
+        from cc_net_spark.streaming.incremental_clusters import fold_new_batches
+
+        folded = fold_new_batches(
+            spark, a.output, a.clusters_state,
+            id_col=a.id_col, n_state_buckets=a.state_buckets,
+        )
+        print(f"neardup: folded {len(folded)} new batch(es) "
+              f"{folded or ''} into cluster state {a.clusters_state}")
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -447,3 +447,70 @@ def compact_clusters_state(
         spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
             fs, src, dst_fs, dst, False, spark._jsc.hadoopConfiguration()
         )
+
+
+def _batch_dirs(spark: SparkSession, path: str) -> list[int]:
+    """Batch ids of the ``_batch_id=`` hive partitions under ``path`` —
+    a pure FS-metadata probe (scheme-safe), [] if the dir is absent."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith("_batch_id=")
+    )
+
+
+def fold_new_batches(
+    spark: SparkSession,
+    output_path: str,
+    state_path: str,
+    *,
+    id_col: str = "clip_id",
+    n_state_buckets: int = 64,
+    driver_threshold: int = 2_000_000,
+) -> list[int]:
+    """Fold every near-dup handler output batch not yet in cluster state.
+
+    The handler (``incremental_neardup.py``) writes its outputs hive-
+    partitioned by ``_batch_id``: ``<output>/flags`` carries one row per
+    ARRIVED id per batch (matched or not — exactly ``update``'s
+    ``batch_ids`` contract) and ``<output>/pairs`` the verified match
+    edges. This maintenance pass lists both, selects batch ids beyond
+    the newest ``cassign`` partition, and calls ``update`` per batch in
+    ascending order — the deployment-surface glue that keeps cluster
+    assignments current after each stream drain (CLI:
+    ``python -m cc_net_spark neardup ... --clusters-state DIR``).
+
+    The "newest cassign partition" cursor is an IO optimization, not a
+    correctness gate: stream batch ids are monotone, and re-folding an
+    already-folded batch is byte-idempotent (``update`` reads only
+    ``< batch_id`` state and overwrites only its own partition dirs).
+    Per-batch cost is bounded by the batch's pair volume — nothing here
+    scans state or outputs proportional to the corpus.
+
+    Returns the folded batch ids (empty when already current).
+    """
+    ic = IncrementalClusters(
+        state_path,
+        id_col=id_col,
+        n_state_buckets=n_state_buckets,
+        driver_threshold=driver_threshold,
+    )
+    flags_base = _join_path(output_path, "flags")
+    pairs_base = _join_path(output_path, "pairs")
+    folded = _batch_dirs(spark, ic.cassign_path)
+    last = max(folded) if folded else -1
+    todo = [b for b in _batch_dirs(spark, flags_base) if b > last]
+    for b in todo:
+        ids = spark.read.parquet(
+            _join_path(flags_base, f"_batch_id={b}")
+        ).select(id_col)
+        pairs = _read_optional(spark, _join_path(pairs_base, f"_batch_id={b}"))
+        if pairs is None:
+            # a flags partition always has a pairs sibling (the handler
+            # writes both per batch) — tolerate its absence as "no edges"
+            pairs = spark.createDataFrame([], "id_a string, id_b string")
+        ic.update(ids, pairs, b)
+    return todo

@@ -200,3 +200,49 @@ def test_neardup_pairs_feed_clusters_end_to_end(spark, tmp_path):
     assert got["b1"] == got["a1"] == got["a2"] == "a1"
     assert got["c2"] == got["c1"] == "c1"
     assert got["s1"] == "s1"
+
+
+def _write_handler_output(spark, out, batches, upto=None):
+    """Fabricate the near-dup handler's output layout: flags (one row per
+    arrived id) + pairs, hive-partitioned by _batch_id."""
+    for bid, (ids, pairs) in enumerate(batches[:upto]):
+        _ids(spark, ids).withColumn("is_dup", F.lit(False)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/flags/_batch_id={bid}")
+        _pairs(spark, pairs).write.mode("overwrite").parquet(
+            f"{out}/pairs/_batch_id={bid}"
+        )
+
+
+def test_fold_new_batches_is_incremental_and_matches_batch_cc(spark, tmp_path):
+    """The CLI's post-drain glue (--clusters-state): folds exactly the
+    output batches beyond the newest cassign partition, in order, and
+    the resulting assignments equal batch CC over all pairs."""
+    from cc_net_spark.streaming.incremental_clusters import fold_new_batches
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    _write_handler_output(spark, out, BATCHES, upto=2)
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [0, 1]
+    # already current -> nothing re-folded
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == []
+    # a later drain adds batch 2; only it is folded
+    _write_handler_output(spark, out, BATCHES)
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [2]
+    ic = IncrementalClusters(state, n_state_buckets=8)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == _batch_truth(spark)
+
+
+def test_fold_new_batches_tolerates_missing_pairs_partition(spark, tmp_path):
+    """A flags partition without a pairs sibling (crash between the two
+    writes, later replayed) folds as singletons instead of crashing."""
+    from cc_net_spark.streaming.incremental_clusters import fold_new_batches
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    _ids(spark, ["a", "b"]).write.mode("overwrite").parquet(
+        f"{out}/flags/_batch_id=0"
+    )
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [0]
+    ic = IncrementalClusters(state, n_state_buckets=8)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == {"a": "a", "b": "b"}
