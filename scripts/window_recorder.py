@@ -66,6 +66,20 @@ def leg(cores: int) -> dict | None:
 
 
 legs: dict[int, list[dict]] = {LO: [], HI: []}
+# seed from the artifact's prior legs (matching geometry + corpus size):
+# a relaunch — e.g. hi-only via WR_LO_SAMPLES=0 — then aggregates
+# best-of over the whole artifact instead of crashing on an empty leg
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        for line in f:
+            try:
+                r = json.loads(line).get("leg")
+            except Exception:
+                continue
+            if r and r.get("n") == N and r.get("cores") in (LO, HI):
+                legs[r["cores"]].append(r)
+    print(json.dumps({"seeded": {c: len(v) for c, v in legs.items()}}),
+          flush=True)
 t_end = time.time() + MAX_MIN * 60
 pairs = 0
 with open(OUT, "a") as f:
@@ -108,11 +122,13 @@ with open(OUT, "a") as f:
                 f.write(json.dumps({"leg": r}) + "\n")
             f.flush()
             pairs += 1
-            lo = min(r["seconds"] for r in legs[LO])
-            hi = min(r["seconds"] for r in legs[HI])
-            eff = (lo / hi) / (HI / LO)
-            print(json.dumps({"pairs": pairs, "lo_best": lo, "hi_best": hi,
-                              "raw_eff": round(eff, 3)}), flush=True)
+            if legs[LO] and legs[HI]:
+                lo = min(r["seconds"] for r in legs[LO])
+                hi = min(r["seconds"] for r in legs[HI])
+                eff = (lo / hi) / (HI / LO)
+                print(json.dumps({"pairs": pairs, "lo_best": lo,
+                                  "hi_best": hi,
+                                  "raw_eff": round(eff, 3)}), flush=True)
 
 if legs[LO] and legs[HI]:
     lo = min(r["seconds"] for r in legs[LO])
