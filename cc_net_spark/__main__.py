@@ -8,7 +8,8 @@ is the ad-hoc surface), re-expressed over Spark:
     python -m cc_net_spark jsonql where '{lang}=="en"' -- select doc_id \
         --file in.jsonl --output out.parquet
     python -m cc_net_spark neardup --input shards/ --state state/ \
-        --output out/ --checkpoint ckpt/ [--compact-upto N]
+        --output out/ --checkpoint ckpt/ [--clusters-state cstate/] \
+        [--compact-upto N] [--compact-clusters-upto N]
 
 `mine` runs the reference's default pipeline (dedup -> lid -> keep_lang
 -> sp -> lm -> pp_bucket -> drop -> minify -> split_by_lang,
@@ -99,6 +100,11 @@ def _neardup(argv: list[str]) -> None:
     p.add_argument("--compact-upto", type=int, default=None, metavar="N",
                    help="compact state batches < N into one partition "
                         "(writes <state>_compacted)")
+    p.add_argument("--compact-clusters-upto", type=int, default=None,
+                   metavar="N",
+                   help="compact CLUSTER state batches < N (collapses "
+                        "alias chains; writes <clusters-state>_compacted; "
+                        "requires --clusters-state)")
     p.add_argument("--pointer-state", action="store_true",
                    help="manage --state as a pointer root (versioned "
                         "trees + atomic CURRENT flip — the object-store-"
@@ -122,36 +128,57 @@ def _neardup(argv: list[str]) -> None:
     a = p.parse_args(argv)
 
     # validate BEFORE paying JVM/session startup
-    if a.compact_upto is None:
+    if a.compact_clusters_upto is not None and a.clusters_state is None:
+        p.error("--compact-clusters-upto requires --clusters-state")
+    if a.compact_upto is None and a.compact_clusters_upto is None:
         for req in ("input", "output", "checkpoint"):
             if getattr(a, req) is None:
-                p.error(f"--{req} is required unless --compact-upto is given")
+                p.error(f"--{req} is required unless --compact-upto or "
+                        "--compact-clusters-upto is given")
         if "embedding" in a.families.split(",") and a.emb_dim is None:
             p.error("--emb-dim is required when the embedding family is enabled")
 
     from cc_net_spark.session import get_spark
 
     spark = get_spark(app_name="cc_net_spark_neardup")
-    if a.compact_upto is not None:
-        if a.pointer_state:
-            from cc_net_spark.streaming.incremental_neardup import (
-                compact_state_pointer,
+    if a.compact_upto is not None or a.compact_clusters_upto is not None:
+        if a.compact_upto is not None:
+            if a.pointer_state:
+                from cc_net_spark.streaming.incremental_neardup import (
+                    compact_state_pointer,
+                )
+
+                did = compact_state_pointer(
+                    spark, a.state, upto_batch=a.compact_upto,
+                    min_batches=1, id_col=a.id_col,
+                )
+                print(f"neardup: pointer compaction "
+                      f"{'flipped CURRENT' if did else 'found nothing to do'} "
+                      f"under {a.state}")
+            else:
+                from cc_net_spark.streaming.incremental_neardup import (
+                    compact_state,
+                )
+
+                out = a.state.rstrip("/") + "_compacted"
+                compact_state(spark, a.state, out, upto_batch=a.compact_upto,
+                              id_col=a.id_col)
+                print(f"neardup: compacted state batches < {a.compact_upto} "
+                      f"-> {out}")
+        if a.compact_clusters_upto is not None:
+            from cc_net_spark.streaming.incremental_clusters import (
+                compact_clusters_state,
             )
 
-            did = compact_state_pointer(
-                spark, a.state, upto_batch=a.compact_upto,
-                min_batches=1, id_col=a.id_col,
+            cout = a.clusters_state.rstrip("/") + "_compacted"
+            compact_clusters_state(
+                spark, a.clusters_state, cout,
+                upto_batch=a.compact_clusters_upto,
+                id_col=a.id_col, n_state_buckets=a.state_buckets,
             )
-            print(f"neardup: pointer compaction "
-                  f"{'flipped CURRENT' if did else 'found nothing to do'} "
-                  f"under {a.state}")
-            return
-        from cc_net_spark.streaming.incremental_neardup import compact_state
-
-        out = a.state.rstrip("/") + "_compacted"
-        compact_state(spark, a.state, out, upto_batch=a.compact_upto,
-                      id_col=a.id_col)
-        print(f"neardup: compacted state batches < {a.compact_upto} -> {out}")
+            print(f"neardup: compacted cluster-state batches < "
+                  f"{a.compact_clusters_upto} -> {cout} (out-of-place; "
+                  f"swap or repoint like the LSH state)")
         return
     from cc_net_spark.streaming.incremental_neardup import run_incremental_near_dup
 

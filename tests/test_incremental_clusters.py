@@ -246,3 +246,64 @@ def test_fold_new_batches_tolerates_missing_pairs_partition(spark, tmp_path):
     ic = IncrementalClusters(state, n_state_buckets=8)
     got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
     assert got == {"a": "a", "b": "b"}
+
+
+def test_neardup_cli_clusters_flags_validate_before_spark():
+    """Arg contract (checked before any JVM startup): clusters
+    compaction needs --clusters-state; stream mode still needs
+    input/output/checkpoint even when --clusters-state is given."""
+    import pytest
+
+    from cc_net_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(["neardup", "--state", "s", "--compact-clusters-upto", "2"])
+    assert ei.value.code == 2
+    with pytest.raises(SystemExit) as ei:
+        main(["neardup", "--state", "s", "--clusters-state", "c"])
+    assert ei.value.code == 2
+
+
+def test_neardup_cli_folds_clusters_after_drain(spark, tmp_path):
+    """Deployment surface end-to-end: ``python -m cc_net_spark neardup
+    --clusters-state`` runs the stream (AvailableNow) and then folds the
+    new output batches into cluster state; a second invocation with a
+    new shard folds ONLY the new batch and keeps assignments equal to
+    batch CC over all pairs."""
+    import json as _json
+
+    from cc_net_spark.__main__ import main
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "s0.json").write_text(
+        _json.dumps({"clip_id": "a0", "transcript": base})
+        + "\n"
+        + _json.dumps({"clip_id": "a1", "transcript": other})
+    )
+    argv = [
+        "neardup",
+        "--input", str(inp),
+        "--state", str(tmp_path / "state"),
+        "--output", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--clusters-state", str(tmp_path / "cstate"),
+        "--state-buckets", "8",
+    ]
+    main(argv)
+    ic = IncrementalClusters(str(tmp_path / "cstate"), n_state_buckets=8)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == {"a0": "a0", "a1": "a1"}
+    # second drain: b0 duplicates a0 -> joins a0's cluster
+    (inp / "s1.json").write_text(
+        _json.dumps({"clip_id": "b0", "transcript": base})
+    )
+    main(argv)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == {"a0": "a0", "a1": "a1", "b0": "a0"}
+    # the second fold touched only batch 1's partition dir
+    from cc_net_spark.streaming.incremental_clusters import _batch_dirs
+
+    assert _batch_dirs(spark, str(tmp_path / "cstate" / "cassign")) == [0, 1]
