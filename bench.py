@@ -52,12 +52,19 @@ SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 # dip otherwise records pure weather (e.g. the archived 0.501-efficiency
 # artifact whose same-code matched-window measure was 0.757).
 SCALING_TARGET = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", "0.8"))
-SCALING_TOPUP_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "420"))
+# 600 s (was 420): once the lo floor pins, top-up spends the budget on
+# hi-only samples (~45-140 s each under throttle) — the extra headroom
+# buys ~2 more hi samples in a degraded window, and session-11 measured
+# the hi floor converging in exactly that best-of regime (38.5 -> 37.6
+# -> 36.9 across one window series)
+SCALING_TOPUP_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "600"))
 # headline top-up: clips/sec floor below which the run is a burst-credit
-# dip worth re-sampling (healthy-window record ~1245 at sf0.1; 1000 ≈ the
-# round-2 recorded figure). Budget bounds the extra wall-clock; 0 disables.
-HEADLINE_TARGET_CPS = float(os.environ.get("SPARK_GRAFT_HEADLINE_TARGET_CPS", "1000"))
-HEADLINE_TOPUP_BUDGET = float(os.environ.get("SPARK_GRAFT_HEADLINE_BUDGET", "180"))
+# dip worth re-sampling. 1800 (was 1000, the round-2 figure): the
+# int_ids headline records ~3088 clips/s in a healthy window, so a
+# sub-1800 run is weather, not engine. Budget bounds the extra
+# wall-clock; 0 disables.
+HEADLINE_TARGET_CPS = float(os.environ.get("SPARK_GRAFT_HEADLINE_TARGET_CPS", "1800"))
+HEADLINE_TOPUP_BUDGET = float(os.environ.get("SPARK_GRAFT_HEADLINE_BUDGET", "240"))
 # realistic transcript sizes (~1.5 KB) so per-row compute, not per-stage
 # overhead, dominates the scaling measurement
 SIZE_SCALE = int(os.environ.get("SPARK_GRAFT_SIZE_SCALE", "3"))
