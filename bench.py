@@ -364,6 +364,8 @@ def run_leg(cores: int, clips_path: str, n: int) -> None:
         "dup_pair_recall": quality["dup_pair_recall"],
         "mode": SCALE_MODE,
         "commit": _git_rev(),
+        "size_scale": SIZE_SCALE,
+        "fused": fused,
         **(
             {"executors": max(1, cores // EXEC_CORES), "exec_cores": EXEC_CORES}
             if executors
@@ -585,8 +587,15 @@ def archived_scaling_floor(
         "aqe": os.environ.get("SPARK_GRAFT_AQE", "true").lower()
         not in ("0", "false", "no"),
     }
-    best: dict[int, dict] = {}
-    files: set[str] = set()
+    # legs recorded before session 11 lack these two fields but were all
+    # run at the historical defaults (size_scale=3, fused legs) — treat
+    # absence as those defaults so the existing archive stays matchable,
+    # while a non-default A/B run (smaller corpus rows, staged shape)
+    # recorded since can never pollute a default-config floor
+    want_shape = {"size_scale": (SIZE_SCALE, 3),
+                  "fused": (os.environ.get("SPARK_GRAFT_LEG_FUSED", "1") == "1",
+                            True)}
+    best: dict[int, tuple[dict, str]] = {}
     try:
         names = sorted(os.listdir(archive_dir))
     except OSError:
@@ -604,36 +613,48 @@ def archived_scaling_floor(
                         leg = json.loads(line).get("leg")
                     except (json.JSONDecodeError, AttributeError):
                         continue
+                    # per-row validation: one malformed row (missing
+                    # seconds, null recall) must skip that ROW, not
+                    # abort the whole archive scan
                     if (
-                        not leg
+                        not isinstance(leg, dict)
                         or leg.get("n") != n_clips
                         or leg.get("cores") not in (lo_cores, hi_cores)
                         or any(leg.get(k) != v for k, v in want.items())
-                        or leg.get("dup_pair_recall", 0.0) < 0.99
+                        or any(
+                            leg.get(k, d) != v
+                            for k, (v, d) in want_shape.items()
+                        )
+                        or not isinstance(leg.get("seconds"), (int, float))
+                        or not isinstance(
+                            leg.get("dup_pair_recall"), (int, float)
+                        )
+                        or leg["dup_pair_recall"] < 0.99
                     ):
                         continue
                     if mode == "executors" and leg.get("exec_cores") != EXEC_CORES:
                         continue
                     c = leg["cores"]
-                    if c not in best or leg["seconds"] < best[c]["seconds"]:
-                        best[c] = leg
-                    files.add(name)
+                    if c not in best or leg["seconds"] < best[c][0]["seconds"]:
+                        best[c] = (leg, name)
         except OSError:
             continue
     if lo_cores not in best or hi_cores not in best:
         return None
-    lo, hi = best[lo_cores]["seconds"], best[hi_cores]["seconds"]
+    (blo, lo_src), (bhi, hi_src) = best[lo_cores], best[hi_cores]
+    lo, hi = blo["seconds"], bhi["seconds"]
     return {
         "lo_seconds": lo,
         "hi_seconds": hi,
         "raw_efficiency": round((lo / hi) / (hi_cores / lo_cores), 3),
         "hi_clips_per_sec": round(n_clips / hi, 1),
         "n_clips": n_clips,
-        "sources": sorted(files),
+        # provenance: exactly the files the reported floors came from
+        "sources": sorted({lo_src, hi_src}),
         # floors may come from different builds (legs recorded since
         # session 11 carry their commit; older records show None)
-        "lo_commit": best[lo_cores].get("commit"),
-        "hi_commit": best[hi_cores].get("commit"),
+        "lo_commit": blo.get("commit"),
+        "hi_commit": bhi.get("commit"),
     }
 
 
@@ -922,8 +943,14 @@ def main() -> None:
         # under-record, the conservative direction).
         # smaller corpora amortize fixed costs worse, so the floor scales
         # down with N_CLIPS below the default 20k (a 4k-clip smoke run
-        # must not burn the budget chasing a 20k-calibrated floor)
+        # must not burn the budget chasing a 20k-calibrated floor); the
+        # 1800 default is calibrated to the int_ids headline (~3088 cps
+        # record) — a documented string-id A/B (record ~1245 cps) gets a
+        # proportionally lower floor instead of unconditionally burning
+        # the whole budget against an unreachable target
         cps_floor = HEADLINE_TARGET_CPS * min(1.0, N_CLIPS / 20000.0)
+        if not headline_int_ids:
+            cps_floor *= 1245.0 / 3088.0
         t_h0 = time.time()
         while (
             HEADLINE_TOPUP_BUDGET > 0

@@ -63,7 +63,9 @@ def _neardup(argv: list[str]) -> None:
     instead (N = the stream checkpoint's next batch id)."""
     p = argparse.ArgumentParser(prog="cc_net_spark neardup")
     p.add_argument("--input", help="input dir of JSONL shard files")
-    p.add_argument("--state", required=True, help="persistent LSH state dir")
+    p.add_argument("--state", default=None,
+                   help="persistent LSH state dir (required except for a "
+                        "clusters-only compaction)")
     p.add_argument("--output", help="pairs/flags/metrics output dir")
     p.add_argument("--checkpoint", help="stream checkpoint dir")
     p.add_argument("--schema", default="clip_id string, transcript string")
@@ -130,6 +132,11 @@ def _neardup(argv: list[str]) -> None:
     # validate BEFORE paying JVM/session startup
     if a.compact_clusters_upto is not None and a.clusters_state is None:
         p.error("--compact-clusters-upto requires --clusters-state")
+    clusters_only = (
+        a.compact_clusters_upto is not None and a.compact_upto is None
+    )
+    if a.state is None and not clusters_only:
+        p.error("--state is required except for a clusters-only compaction")
     if a.compact_upto is None and a.compact_clusters_upto is None:
         for req in ("input", "output", "checkpoint"):
             if getattr(a, req) is None:

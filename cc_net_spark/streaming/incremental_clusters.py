@@ -462,6 +462,30 @@ def _batch_dirs(spark: SparkSession, path: str) -> list[int]:
     )
 
 
+def _fully_folded(spark: SparkSession, ic: "IncrementalClusters") -> set[int]:
+    """Batch ids whose fold COMMITTED: both state tables carry the
+    batch's ``_SUCCESS`` marker. ``update`` writes cassign and calias
+    concurrently, and Spark creates an output dir at job start — so a
+    crash mid-fold can leave a cassign partition without its calias
+    sibling (or a partial one). Counting such a batch as folded would
+    skip the idempotent re-fold that repairs it, permanently losing its
+    aliases; the marker check makes the cursor a commit test, not a
+    dir-existence test."""
+    done = set()
+    for b in _batch_dirs(spark, ic.cassign_path):
+        ok = True
+        for tab in (ic.cassign_path, ic.calias_path):
+            fs, p = _hadoop_fs(
+                spark, _join_path(tab, f"_batch_id={b}", "_SUCCESS")
+            )
+            if not fs.exists(p):
+                ok = False
+                break
+        if ok:
+            done.add(b)
+    return done
+
+
 def fold_new_batches(
     spark: SparkSession,
     output_path: str,
@@ -483,12 +507,13 @@ def fold_new_batches(
     assignments current after each stream drain (CLI:
     ``python -m cc_net_spark neardup ... --clusters-state DIR``).
 
-    The "newest cassign partition" cursor is an IO optimization, not a
-    correctness gate: stream batch ids are monotone, and re-folding an
-    already-folded batch is byte-idempotent (``update`` reads only
-    ``< batch_id`` state and overwrites only its own partition dirs).
-    Per-batch cost is bounded by the batch's pair volume — nothing here
-    scans state or outputs proportional to the corpus.
+    "Already folded" means COMMITTED: both state tables carry the
+    batch's ``_SUCCESS`` marker (see ``_fully_folded`` — a crash mid-
+    fold leaves a partial batch, which is re-folded; re-folds are
+    byte-idempotent because ``update`` reads only ``< batch_id`` state
+    and overwrites only its own partition dirs). Per-batch cost is
+    bounded by the batch's pair volume — nothing here scans state or
+    outputs proportional to the corpus.
 
     Returns the folded batch ids (empty when already current).
     """
@@ -500,9 +525,8 @@ def fold_new_batches(
     )
     flags_base = _join_path(output_path, "flags")
     pairs_base = _join_path(output_path, "pairs")
-    folded = _batch_dirs(spark, ic.cassign_path)
-    last = max(folded) if folded else -1
-    todo = [b for b in _batch_dirs(spark, flags_base) if b > last]
+    folded = _fully_folded(spark, ic)
+    todo = [b for b in _batch_dirs(spark, flags_base) if b not in folded]
     for b in todo:
         ids = spark.read.parquet(
             _join_path(flags_base, f"_batch_id={b}")

@@ -28,7 +28,10 @@ import bench
 MAX_MIN = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/window_recorder.jsonl"
 MEMBW_MIN = float(os.environ.get("WR_MEMBW_MIN", "4e9"))
-SPIN_MIN = float(os.environ.get("WR_SPIN_MIN", "2.2e8"))
+# storm floor, matching bench.wait_for_window's recalibration: quiet-box
+# spin drifted ~2.6e8 -> ~1.8e8 ops/s while walls stayed healthy, so the
+# old 2.2e8 default would sleep forever in perfectly good windows
+SPIN_MIN = float(os.environ.get("WR_SPIN_MIN", "1.5e8"))
 MAX_PAIRS = int(os.environ.get("WR_MAX_PAIRS", "6"))
 N = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "120000"))
 CLIPS = os.environ.get("CLIPS_PATH", "/tmp/geom_b_rec_clips/clips.parquet")
@@ -66,9 +69,20 @@ def leg(cores: int) -> dict | None:
 
 
 legs: dict[int, list[dict]] = {LO: [], HI: []}
-# seed from the artifact's prior legs (matching geometry + corpus size):
-# a relaunch — e.g. hi-only via WR_LO_SAMPLES=0 — then aggregates
-# best-of over the whole artifact instead of crashing on an empty leg
+# seed from the artifact's prior legs so a relaunch — e.g. hi-only via
+# WR_LO_SAMPLES=0 — aggregates best-of over the whole artifact instead
+# of crashing on an empty leg. Seeds must match THIS launch's
+# configuration (same filter discipline as bench.archived_scaling_floor:
+# a faster int_ids / keep_shingles / AQE-off / thread-mode / recall-
+# failed leg in the same file must not pollute the floors).
+_want = {
+    "mode": "executors",
+    "exec_cores": 1,
+    "keep_shingles": env.get("SPARK_GRAFT_KEEP_SHINGLES", "0") == "1",
+    "int_ids": env.get("SPARK_GRAFT_INT_IDS", "0") == "1",
+    "aqe": env.get("SPARK_GRAFT_AQE", "true").lower()
+    not in ("0", "false", "no"),
+}
 if os.path.exists(OUT):
     with open(OUT) as f:
         for line in f:
@@ -76,7 +90,14 @@ if os.path.exists(OUT):
                 r = json.loads(line).get("leg")
             except Exception:
                 continue
-            if r and r.get("n") == N and r.get("cores") in (LO, HI):
+            if (
+                r
+                and r.get("n") == N
+                and r.get("cores") in (LO, HI)
+                and all(r.get(k) == v for k, v in _want.items())
+                and isinstance(r.get("seconds"), (int, float))
+                and (r.get("dup_pair_recall") or 0.0) >= 0.99
+            ):
                 legs[r["cores"]].append(r)
     print(json.dumps({"seeded": {c: len(v) for c, v in legs.items()}}),
           flush=True)

@@ -88,6 +88,10 @@ def test_archived_floor_filters_and_aggregates(tmp_path, monkeypatch):
         {"leg": _leg(4, 10.0, int_ids=True)},  # wrong id basis
         {"leg": _leg(4, 10.0, dup_pair_recall=0.5)},  # failed recall
         {"leg": _leg(4, 10.0, mode="threads")},       # wrong mode
+        {"leg": _leg(4, 10.0, size_scale=1)},  # wrong corpus row size
+        {"leg": _leg(4, 10.0, fused=False)},   # staged leg shape
+        {"leg": {"cores": 4, "n": 120000}},    # malformed: no seconds
+        {"leg": _leg(4, 10.0, dup_pair_recall=None)},  # malformed recall
         {"summary": {"raw_eff": 0.99}},        # summaries are ignored
     ]
     p = tmp_path / "rec.jsonl"

@@ -262,6 +262,14 @@ def test_neardup_cli_clusters_flags_validate_before_spark():
     with pytest.raises(SystemExit) as ei:
         main(["neardup", "--state", "s", "--clusters-state", "c"])
     assert ei.value.code == 2
+    # LSH compaction still needs --state; only a CLUSTERS-ONLY
+    # compaction may omit it
+    with pytest.raises(SystemExit) as ei:
+        main(["neardup", "--compact-upto", "2"])
+    assert ei.value.code == 2
+    with pytest.raises(SystemExit) as ei:
+        main(["neardup"])
+    assert ei.value.code == 2
 
 
 def test_neardup_cli_folds_clusters_after_drain(spark, tmp_path):
@@ -307,3 +315,35 @@ def test_neardup_cli_folds_clusters_after_drain(spark, tmp_path):
     from cc_net_spark.streaming.incremental_clusters import _batch_dirs
 
     assert _batch_dirs(spark, str(tmp_path / "cstate" / "cassign")) == [0, 1]
+    # clusters-only maintenance verb: no --state needed
+    main([
+        "neardup",
+        "--clusters-state", str(tmp_path / "cstate"),
+        "--compact-clusters-upto", "2",
+        "--state-buckets", "8",
+    ])
+    icc = IncrementalClusters(
+        str(tmp_path) + "/cstate_compacted", n_state_buckets=8
+    )
+    got_c = {r["clip_id"]: r["cluster_id"] for r in icc.current(spark).collect()}
+    assert got_c == got
+
+
+def test_fold_new_batches_refolds_a_partial_crashed_fold(spark, tmp_path):
+    """A crash between update()'s concurrent cassign/calias writes leaves
+    a committed cassign partition without its calias sibling; the fold
+    cursor must treat that batch as NOT folded (commit markers on BOTH
+    tables) so the idempotent re-fold repairs it."""
+    import os
+
+    from cc_net_spark.streaming.incremental_clusters import fold_new_batches
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    _write_handler_output(spark, out, BATCHES, upto=2)
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [0, 1]
+    # simulate the torn batch-1 fold: calias committed marker missing
+    os.remove(str(tmp_path / "state" / "calias" / "_batch_id=1" / "_SUCCESS"))
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [1]
+    ic = IncrementalClusters(state, n_state_buckets=8)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == _batch_truth(spark, BATCHES[:2])
