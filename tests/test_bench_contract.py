@@ -134,3 +134,26 @@ def test_scaling_topup_knobs_parse():
     defaults: target inside (0,1], budget >= 0 (0 disables top-up)."""
     assert 0.0 < bench.SCALING_TARGET <= 1.0
     assert bench.SCALING_TOPUP_BUDGET >= 0.0
+
+
+def test_archived_record_artifact_has_contract_keys():
+    """The driver reads one JSON line with metric/value/unit/queries/sf
+    (+ scaling, probes, recall); pin the shape against the archived
+    session-11 record so a bench refactor can't silently drop a key the
+    grading driver or the round-over-round comparisons rely on."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "BENCH_r04_s11_record.json")
+    d = json.loads(open(path).read().strip().splitlines()[-1])
+    for k in ("metric", "value", "unit", "queries", "sf",
+              "throughput_clips_per_sec", "dup_pair_recall",
+              "window_probes", "scaling"):
+        assert k in d, k
+    s = d["scaling"]
+    for k in ("lo", "hi", "efficiency", "speedup", "n_clips", "mode",
+              "topup_reps", "control_efficiency", "efficiency_vs_control",
+              "archived_floor"):
+        assert k in s, k
+    assert s["archived_floor"]["raw_efficiency"] > 0
+    assert d["dup_pair_recall"] >= 0.99
