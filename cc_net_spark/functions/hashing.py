@@ -178,24 +178,30 @@ _ROLL_P_INV = U64(pow(1000003, -1, 1 << 64))
 
 # Power tables are input-independent (just powers of P / P^-1): computed
 # once per process and grown geometrically — the per-doc cumprods were
-# half of window_hashes' accumulate work.
-_pow_cache = np.array([1, 1000003], dtype=U64)
-_invpow_cache = np.array([_ROLL_P_INV], dtype=U64)
+# half of window_hashes' accumulate work. Both arrays are published in
+# one tuple assignment so a concurrent reader can never pair a grown
+# pows with a stale shorter invpows (broadcast shape error otherwise if
+# a worker ever runs UDFs on multiple threads).
+_pow_tables_cache: tuple[np.ndarray, np.ndarray] = (
+    np.array([1, 1000003], dtype=U64),
+    np.array([_ROLL_P_INV], dtype=U64),
+)
 
 
 def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     """(pows[0..n], invpows[0..n-1]) with pows[k] = P^k, invpows[j] = P^-(j+1)."""
-    global _pow_cache, _invpow_cache
-    if len(_pow_cache) < n + 1:
-        grow = max(n + 1, 2 * len(_pow_cache))
+    global _pow_tables_cache
+    pows, invpows = _pow_tables_cache
+    if len(pows) < n + 1:
+        grow = max(n + 1, 2 * len(pows))
         pows = np.empty(grow, dtype=U64)
         pows[0] = 1
         np.multiply.accumulate(np.full(grow - 1, _ROLL_P, dtype=U64), out=pows[1:])
-        _pow_cache = pows
-        _invpow_cache = np.multiply.accumulate(
+        invpows = np.multiply.accumulate(
             np.full(grow - 1, _ROLL_P_INV, dtype=U64)
         )
-    return _pow_cache, _invpow_cache
+        _pow_tables_cache = (pows, invpows)
+    return pows, invpows
 
 
 def window_hashes(text: str, L: int) -> np.ndarray:

@@ -431,16 +431,55 @@ def compact_clusters_state(
         .write.mode("overwrite")
         .parquet(_join_path(out_path, "calias", f"_batch_id={upto_batch - 1}", "_kb=0"))
     )
+    # that nested write leaves its _SUCCESS one level too deep for the
+    # fold cursor's batch-level commit check (_fully_folded) — without a
+    # marker at _batch_id=<upto-1>/ the compacted batch would read as
+    # unfolded and a re-fold's overwrite would replace the corpus-wide
+    # compacted cassign partition with one batch's ids
+    write_small_text(
+        spark,
+        _join_path(out_path, "calias", f"_batch_id={upto_batch - 1}", "_SUCCESS"),
+        "",
+    )
     for sub in ("cassign", "calias"):
         df = _read_optional(spark, _join_path(state_path, sub))
         if df is None:
             continue
         newer = df.filter(F.col("_batch_id") >= upto_batch)
-        if newer.isEmpty():
-            continue
-        newer.write.mode("append").partitionBy("_batch_id", "_kb").parquet(
-            _join_path(out_path, sub)
-        )
+        # copy per batch DIR (not per row-derived id — a committed batch
+        # can hold zero alias rows) into explicit _batch_id= dirs so each
+        # keeps a BATCH-LEVEL _SUCCESS (a single partitionBy append would
+        # put the marker only at the table root, demoting every passed-
+        # through batch to "unfolded" after a swap); the replayable tail
+        # is a handful of batches, so the loop stays cheap
+        for b in _batch_dirs(spark, _join_path(state_path, sub)):
+            if b < upto_batch:
+                continue
+            (
+                newer.filter(F.col("_batch_id") == b)
+                .drop("_batch_id")
+                .write.mode("overwrite")
+                .partitionBy("_kb")
+                .parquet(_join_path(out_path, sub, f"_batch_id={b}"))
+            )
+            # carry the source batch's commit marker over VERBATIM: the
+            # copy job's own commit protocol always drops a _SUCCESS, but
+            # a torn source batch (no marker — crashed mid-fold) must stay
+            # torn so the fold cursor's idempotent re-fold can repair it
+            src_fs, src_marker = _hadoop_fs(
+                spark, _join_path(state_path, sub, f"_batch_id={b}", "_SUCCESS")
+            )
+            dst_fs, dst_marker = _hadoop_fs(
+                spark, _join_path(out_path, sub, f"_batch_id={b}", "_SUCCESS")
+            )
+            if src_fs.exists(src_marker):
+                write_small_text(
+                    spark,
+                    _join_path(out_path, sub, f"_batch_id={b}", "_SUCCESS"),
+                    "",
+                )
+            elif dst_fs.exists(dst_marker):
+                dst_fs.delete(dst_marker, False)
     fs, src = _hadoop_fs(spark, _join_path(state_path, "meta", "meta.json"))
     if fs.exists(src):
         dst_fs, dst = _hadoop_fs(spark, _join_path(out_path, "meta", "meta.json"))
@@ -462,28 +501,31 @@ def _batch_dirs(spark: SparkSession, path: str) -> list[int]:
     )
 
 
-def _fully_folded(spark: SparkSession, ic: "IncrementalClusters") -> set[int]:
-    """Batch ids whose fold COMMITTED: both state tables carry the
-    batch's ``_SUCCESS`` marker. ``update`` writes cassign and calias
-    concurrently, and Spark creates an output dir at job start — so a
-    crash mid-fold can leave a cassign partition without its calias
-    sibling (or a partial one). Counting such a batch as folded would
-    skip the idempotent re-fold that repairs it, permanently losing its
-    aliases; the marker check makes the cursor a commit test, not a
-    dir-existence test."""
-    done = set()
-    for b in _batch_dirs(spark, ic.cassign_path):
-        ok = True
-        for tab in (ic.cassign_path, ic.calias_path):
-            fs, p = _hadoop_fs(
-                spark, _join_path(tab, f"_batch_id={b}", "_SUCCESS")
-            )
-            if not fs.exists(p):
-                ok = False
-                break
-        if ok:
-            done.add(b)
-    return done
+def _fold_cursor(spark: SparkSession, ic: "IncrementalClusters") -> tuple[int, bool]:
+    """(high-water cassign batch id, is it committed). Folds run in
+    ascending batch order, so every batch id STRICTLY BELOW the newest
+    cassign partition has fully committed before the newer fold started —
+    those are folded by id comparison alone, no per-batch dirs needed
+    (compaction legitimately removes them: its rebadged corpus-wide
+    partition must never be re-folded and clobbered with one batch's
+    ids). Only the high-water batch is marker-checked on BOTH state
+    tables: ``update`` writes cassign and calias concurrently, and a
+    crash mid-fold can leave the newest cassign partition without its
+    calias sibling (or a partial one) — counting it as folded would skip
+    the idempotent re-fold that repairs it, permanently losing its
+    aliases. (Caveat: out-of-order MANUAL ``update`` calls void the
+    below-the-high-water-mark guarantee; ``fold_new_batches`` never
+    folds out of order.)
+    """
+    batches = _batch_dirs(spark, ic.cassign_path)
+    if not batches:
+        return -1, False
+    hwm = batches[-1]
+    for tab in (ic.cassign_path, ic.calias_path):
+        fs, p = _hadoop_fs(spark, _join_path(tab, f"_batch_id={hwm}", "_SUCCESS"))
+        if not fs.exists(p):
+            return hwm, False
+    return hwm, True
 
 
 def fold_new_batches(
@@ -507,13 +549,17 @@ def fold_new_batches(
     assignments current after each stream drain (CLI:
     ``python -m cc_net_spark neardup ... --clusters-state DIR``).
 
-    "Already folded" means COMMITTED: both state tables carry the
-    batch's ``_SUCCESS`` marker (see ``_fully_folded`` — a crash mid-
-    fold leaves a partial batch, which is re-folded; re-folds are
-    byte-idempotent because ``update`` reads only ``< batch_id`` state
-    and overwrites only its own partition dirs). Per-batch cost is
-    bounded by the batch's pair volume — nothing here scans state or
-    outputs proportional to the corpus.
+    "Already folded" means at-or-below the newest committed cassign
+    partition: batches strictly below the high-water mark are folded by
+    the ascending fold order (this keeps compaction's corpus-wide
+    rebadged partition from ever being re-folded and clobbered); the
+    high-water batch itself must carry ``_SUCCESS`` on BOTH state tables
+    (see ``_fold_cursor`` — a crash mid-fold leaves a partial newest
+    batch, which is re-folded; re-folds are byte-idempotent because
+    ``update`` reads only ``< batch_id`` state and overwrites only its
+    own partition dirs). Per-batch cost is bounded by the batch's pair
+    volume — nothing here scans state or outputs proportional to the
+    corpus.
 
     Returns the folded batch ids (empty when already current).
     """
@@ -525,8 +571,12 @@ def fold_new_batches(
     )
     flags_base = _join_path(output_path, "flags")
     pairs_base = _join_path(output_path, "pairs")
-    folded = _fully_folded(spark, ic)
-    todo = [b for b in _batch_dirs(spark, flags_base) if b not in folded]
+    hwm, hwm_committed = _fold_cursor(spark, ic)
+    todo = [
+        b
+        for b in _batch_dirs(spark, flags_base)
+        if b > hwm or (b == hwm and not hwm_committed)
+    ]
     for b in todo:
         ids = spark.read.parquet(
             _join_path(flags_base, f"_batch_id={b}")

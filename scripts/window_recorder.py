@@ -83,6 +83,14 @@ _want = {
     "aqe": env.get("SPARK_GRAFT_AQE", "true").lower()
     not in ("0", "false", "no"),
 }
+# absence-tolerant shape keys (same defaults-matching discipline as
+# bench.archived_scaling_floor): a leg recorded with a non-default
+# SPARK_GRAFT_SIZE_SCALE (smaller, faster rows) or the staged shape
+# must not seed a default-config session's floors
+_want_shape = {
+    "size_scale": (int(env.get("SPARK_GRAFT_SIZE_SCALE", "3")), 3),
+    "fused": (env.get("SPARK_GRAFT_LEG_FUSED", "1") == "1", True),
+}
 if os.path.exists(OUT):
     with open(OUT) as f:
         for line in f:
@@ -95,6 +103,10 @@ if os.path.exists(OUT):
                 and r.get("n") == N
                 and r.get("cores") in (LO, HI)
                 and all(r.get(k) == v for k, v in _want.items())
+                and all(
+                    r.get(k, dflt) == v
+                    for k, (v, dflt) in _want_shape.items()
+                )
                 and isinstance(r.get("seconds"), (int, float))
                 and (r.get("dup_pair_recall") or 0.0) >= 0.99
             ):

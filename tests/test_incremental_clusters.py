@@ -329,6 +329,67 @@ def test_neardup_cli_folds_clusters_after_drain(spark, tmp_path):
     assert got_c == got
 
 
+def test_fold_new_batches_after_compact_and_swap(spark, tmp_path):
+    """Folding after the documented compact+swap workflow must treat the
+    rebadged corpus-wide partition as FOLDED (regression: the compacted
+    calias _SUCCESS used to land one hive level too deep, so the cursor
+    re-folded batch upto-1 and its overwrite replaced the corpus-wide
+    cassign partition with that one batch's ids — earlier batches' ids
+    were lost outright once older output partitions were pruned)."""
+    import shutil
+
+    from cc_net_spark.streaming.incremental_clusters import fold_new_batches
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    _write_handler_output(spark, out, BATCHES, upto=2)
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [0, 1]
+    want = _batch_truth(spark, BATCHES[:2])
+    # compact + swap (the workflow compact_clusters_state documents)
+    compacted = str(tmp_path / "state_compacted")
+    compact_clusters_state(spark, state, compacted, upto_batch=2, n_state_buckets=8)
+    shutil.rmtree(state)
+    shutil.move(compacted, state)
+    # prune older output partitions — exactly the case that made the bug
+    # destructive: a re-fold of the rebadged partition can't recover them
+    shutil.rmtree(f"{out}/flags/_batch_id=0")
+    shutil.rmtree(f"{out}/pairs/_batch_id=0")
+    # already current: NOTHING re-folds, assignments survive intact
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == []
+    ic = IncrementalClusters(state, n_state_buckets=8)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == want
+    # a genuinely new batch still folds, on top of the compacted state
+    _write_handler_output(spark, out, BATCHES)
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [2]
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == _batch_truth(spark)
+
+
+def test_compaction_carries_passthrough_commit_markers(spark, tmp_path):
+    """Batches >= upto pass through compaction with their BATCH-LEVEL
+    _SUCCESS intact (even a zero-alias batch), so a swap never demotes a
+    committed tail batch to 'unfolded'; a torn tail batch stays torn."""
+    import os
+
+    from cc_net_spark.streaming.incremental_clusters import _fold_cursor
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "compacted")
+    ic = _run_batches(spark, state)  # batches 0..2
+    compact_clusters_state(spark, state, out, upto_batch=2, n_state_buckets=8)
+    ic2 = IncrementalClusters(out, n_state_buckets=8)
+    assert _fold_cursor(spark, ic2) == (2, True)
+    # identical resolved assignments after the partial compaction
+    assert sorted(map(tuple, ic2.current(spark).collect())) == sorted(
+        map(tuple, ic.current(spark).collect())
+    )
+    # torn tail batch in the SOURCE stays torn in the copy
+    os.remove(f"{state}/calias/_batch_id=2/_SUCCESS")
+    out2 = str(tmp_path / "compacted2")
+    compact_clusters_state(spark, state, out2, upto_batch=2, n_state_buckets=8)
+    ic3 = IncrementalClusters(out2, n_state_buckets=8)
+    assert _fold_cursor(spark, ic3) == (2, False)
+
+
 def test_fold_new_batches_refolds_a_partial_crashed_fold(spark, tmp_path):
     """A crash between update()'s concurrent cassign/calias writes leaves
     a committed cassign partition without its calias sibling; the fold
