@@ -40,7 +40,6 @@ from cc_net_spark.functions.hashing import (
     minhash_params,
     minhash_signatures,
     sha1_u64_series,
-    simhash64,
     token_shingle_hashes,
     window_hashes,
     winnow,
@@ -60,12 +59,19 @@ def fused_signatures(
     substring_length: int = 30,
     winnow_window: int = 21,
     with_grams: bool = True,
+    simhash_ngram: int = 1,
 ) -> DataFrame:
     """All per-doc signatures from one scan+normalize (see module doc).
 
     ``with_grams=False`` skips the substring-fingerprint computation and
     column — for consumers (e.g. the incremental near-dup state) that
-    run no substring pass and must not pay the window-hash cost."""
+    run no substring pass and must not pay the window-hash cost.
+    ``simhash_ngram>1`` switches the SimHash features from the unigram
+    multiset to word n-grams (see ``simhash.simhash_signatures`` — the
+    unigram fingerprint of a long document converges to its word
+    DISTRIBUTION, merging unrelated same-vocabulary docs); both paths
+    reuse the one shared token-hash pass and stay bit-identical to the
+    standalone operator."""
     a, b = minhash_params(num_perm, seed)
     shingle_cols = ", shingles array<long>" if keep_shingles else ""
     gram_cols = " grams array<long>," if with_grams else ""
@@ -114,8 +120,11 @@ def fused_signatures(
                 np.uint32
             ).view(np.int32)
 
-            # --- simhash over the token multiset (same token hashes)
-            sims = simhash64(tok_flat, tok_offsets)
+            # --- simhash over the token (or n-gram) multiset, from the
+            # same token hashes — shared path with the standalone op
+            from cc_net_spark.operators.simhash import simhash_from_token_hashes
+
+            sims = simhash_from_token_hashes(tok_flat, tok_offsets, simhash_ngram)
 
             # --- winnowed substring fingerprints (kept as per-row arrays;
             # the consumer explodes them JVM-side)

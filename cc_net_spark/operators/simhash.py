@@ -23,9 +23,24 @@ from cc_net_spark.functions.normalize import normalize_for_dedup_series
 from cc_net_spark.operators.pairs import candidate_pairs
 
 
-def simhash_signatures(df: DataFrame, field: str, id_col: str) -> DataFrame:
-    """(id, simhash long) — narrow map, tokens = whitespace split of the
-    normalized text, token weight = multiplicity."""
+def simhash_signatures(
+    df: DataFrame, field: str, id_col: str, *, ngram: int = 1
+) -> DataFrame:
+    """(id, simhash long) — narrow map. Features are whitespace tokens of
+    the normalized text (``ngram=1``, the historical default) or joined
+    word n-grams (``ngram>1``), weight = multiplicity.
+
+    Why n-grams exist: a 64-bit SimHash over the UNIGRAM multiset of a
+    long document converges to a fingerprint of the document's word
+    DISTRIBUTION — two unrelated documents drawn from the same
+    vocabulary land within small Hamming distance of each other (the
+    bench corpus measured 1240 such cross-cluster pairs per 2000 docs at
+    Hamming <= 4). Word n-grams decorrelate unrelated texts (two random
+    docs share almost no trigrams) while keeping near-exact duplicates
+    at Hamming ~0, which is what a web-scale SimHash pass actually uses
+    phrase features for. The near-dup pipeline passes ngram=3
+    (``NearDupConfig.simhash_ngram``); standalone callers keep the
+    unigram default for backward compatibility."""
     src = df.select(F.col(id_col).cast("string").alias(id_col), F.col(field))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -39,10 +54,29 @@ def simhash_signatures(df: DataFrame, field: str, id_col: str) -> DataFrame:
                 counts[i] = len(toks)
             flat = hash_str_array_u64(all_toks) if all_toks else np.empty(0, np.uint64)
             offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-            sig = simhash64(flat, offsets)
+            sig = simhash_from_token_hashes(flat, offsets, ngram)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sig})
 
     return src.mapInPandas(compute, schema=f"{id_col} string, simhash long")
+
+
+def simhash_from_token_hashes(
+    tok_flat: np.ndarray, tok_offsets: np.ndarray, ngram: int
+) -> np.ndarray:
+    """SimHash per row from pre-hashed tokens. ``ngram>1`` features are
+    the rolling n-gram combines of the token hashes (the exact machinery
+    minhash shingles use — ``token_shingle_hashes`` — so the fused
+    signature stage shares this path bit-identically); multiplicity is
+    preserved (SimHash weights are feature counts, unlike the minhash
+    path which uniquifies)."""
+    from cc_net_spark.functions.hashing import token_shingle_hashes
+
+    if ngram > 1:
+        feat_flat, feat_bounds = token_shingle_hashes(
+            tok_flat, tok_offsets, ngram
+        )
+        return simhash64(feat_flat, feat_bounds.astype(np.int64))
+    return simhash64(tok_flat, tok_offsets)
 
 
 def _band_exprs(max_hamming: int) -> list:

@@ -58,6 +58,16 @@ class NearDupConfig:
     rows_per_band: int = 4
     jaccard_threshold: float = 0.5
     max_hamming: int = 4
+    # SimHash features: word n-grams (3) rather than the unigram multiset.
+    # A 64-bit unigram SimHash of a long document fingerprints its word
+    # DISTRIBUTION — unrelated docs over a shared vocabulary land within
+    # Hamming<=4 of each other and transitively merge into mega-clusters
+    # (bench corpus: 1240 cross-cluster pairs per 2000 docs; pair
+    # precision 0.013). Trigram features decorrelate unrelated text while
+    # keeping exact/normalization duplicates at Hamming 0 (measured: 0
+    # cross-cluster pairs, all planted exact pairs retained). 1 restores
+    # the historical unigram basis for A/Bs.
+    simhash_ngram: int = 3
     # gram length 30 + winnow window 21 => substring detection guaranteed
     # for shared runs >= 50 chars, with ~10x fewer shuffled gram rows
     substring_length: int = 30
@@ -143,6 +153,25 @@ class NearDupConfig:
     validate_ids: str = "observe"
 
 
+def _sig_params(cfg: NearDupConfig) -> str | None:
+    """Config fingerprint for the signatures stage checkpoint: every
+    field that changes the table's CONTENT must appear here, or a
+    resumed workdir would silently serve a stale table after a config
+    flip (the Stage.params contract, plans/dag.py). Defaults fingerprint
+    to None so historical checkpoints stay resumable."""
+    parts = [
+        p
+        for p in (
+            "int_ids=True" if cfg.int_ids else None,
+            f"simhash_ngram={cfg.simhash_ngram}"
+            if cfg.simhash_ngram != 3
+            else None,
+        )
+        if p
+    ]
+    return ",".join(parts) or None
+
+
 def build_stages(
     clips_path: str, cfg: NearDupConfig, workdir: str | None = None
 ) -> list[Stage]:
@@ -171,6 +200,7 @@ def build_stages(
             keep_shingles=cfg.keep_shingles,
             substring_length=cfg.substring_length,
             winnow_window=cfg.winnow_window,
+            simhash_ngram=cfg.simhash_ngram,
         )
         if cfg.int_ids:
             # surrogate id, JVM-side (whole-stage codegen, no UDF cost);
@@ -419,7 +449,7 @@ def build_stages(
         return [
             *head,
             Stage("signatures", stage_signatures, external_inputs=ext,
-              params="int_ids=True" if cfg.int_ids else None),
+              params=_sig_params(cfg)),
             # the fused edges stage reads only the signatures table for the
             # text families; the audio pass (if enabled) reads clips too
             Stage("edges", stage_edges_fused, inputs=["signatures"], external_inputs=ext),
@@ -465,7 +495,7 @@ def build_stages(
     return [
         *head,
         Stage("signatures", stage_signatures, external_inputs=ext,
-              params="int_ids=True" if cfg.int_ids else None),
+              params=_sig_params(cfg)),
         Stage("exact_pairs", stage_exact_pairs, inputs=["signatures"]),
         Stage("minhash_pairs", stage_minhash_pairs, inputs=["signatures"]),
         Stage("simhash_pairs", stage_simhash_pairs, inputs=["signatures"]),

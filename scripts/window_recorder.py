@@ -90,6 +90,8 @@ _want = {
 _want_shape = {
     "size_scale": (int(env.get("SPARK_GRAFT_SIZE_SCALE", "3")), 3),
     "fused": (env.get("SPARK_GRAFT_LEG_FUSED", "1") == "1", True),
+    # pre-round-5 legs are all unigram-SimHash workloads (absence = 1)
+    "simhash_ngram": (int(env.get("SPARK_GRAFT_SIMHASH_NGRAM", "3")), 1),
 }
 if os.path.exists(OUT):
     with open(OUT) as f:

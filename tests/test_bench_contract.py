@@ -74,6 +74,10 @@ def test_archived_floor_filters_and_aggregates(tmp_path, monkeypatch):
 
     monkeypatch.setattr(bench, "N_SCALING", 120000)
     monkeypatch.setattr(bench, "EXEC_CORES", 1)
+    # legacy-workload floors: the synthetic legs below omit simhash_ngram
+    # (pre-round-5 records, absence-default 1), so match them with a
+    # unigram live config
+    monkeypatch.setattr(bench, "SIMHASH_NGRAM", 1)
     for var in ("SPARK_GRAFT_KEEP_SHINGLES", "SPARK_GRAFT_INT_IDS",
                 "SPARK_GRAFT_AQE"):
         monkeypatch.delenv(var, raising=False)
@@ -90,6 +94,7 @@ def test_archived_floor_filters_and_aggregates(tmp_path, monkeypatch):
         {"leg": _leg(4, 10.0, mode="threads")},       # wrong mode
         {"leg": _leg(4, 10.0, size_scale=1)},  # wrong corpus row size
         {"leg": _leg(4, 10.0, fused=False)},   # staged leg shape
+        {"leg": _leg(4, 10.0, simhash_ngram=3)},  # trigram workload
         {"leg": {"cores": 4, "n": 120000}},    # malformed: no seconds
         {"leg": _leg(4, 10.0, dup_pair_recall=None)},  # malformed recall
         {"summary": {"raw_eff": 0.99}},        # summaries are ignored
@@ -124,9 +129,17 @@ def test_archived_floor_real_artifacts(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     monkeypatch.setattr(bench, "N_SCALING", 120000)
     monkeypatch.setattr(bench, "EXEC_CORES", 1)
+    # the r2-r4 archive is the UNIGRAM-SimHash workload
+    monkeypatch.setattr(bench, "SIMHASH_NGRAM", 1)
     floor = bench.archived_scaling_floor(1, 4, "executors")
     assert floor is not None and floor["sources"]
     assert 0.0 < floor["raw_efficiency"] <= 1.0
+    # the trigram default must NOT inherit unigram floors
+    monkeypatch.setattr(bench, "SIMHASH_NGRAM", 3)
+    floor3 = bench.archived_scaling_floor(1, 4, "executors")
+    assert floor3 is None or all(
+        src not in floor["sources"] for src in floor3["sources"]
+    )
 
 
 def test_scaling_topup_knobs_parse():
@@ -134,6 +147,37 @@ def test_scaling_topup_knobs_parse():
     defaults: target inside (0,1], budget >= 0 (0 disables top-up)."""
     assert 0.0 < bench.SCALING_TARGET <= 1.0
     assert bench.SCALING_TOPUP_BUDGET >= 0.0
+
+
+def test_compact_summary_is_small_and_keeps_contract_keys():
+    """The stdout line must survive the driver's bounded tail capture
+    (BENCH_r04 recorded parsed:null because the full line outgrew it) —
+    compact the heaviest artifact on file and require every contract key
+    plus a hard size ceiling with headroom below the observed ~3 KB
+    capture window."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "BENCH_r04_s11_record.json")
+    full = json.loads(open(path).read().strip().splitlines()[-1])
+    compact = bench.compact_summary(full, "BENCH/BENCH_full_test.json")
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 2600, len(line)
+    assert "\n" not in line
+    for k in ("metric", "value", "unit", "queries", "sf",
+              "throughput_clips_per_sec", "dup_pair_recall",
+              "window_probes", "scaling", "full_artifact"):
+        assert k in compact, k
+    s = compact["scaling"]
+    for k in ("lo", "hi", "efficiency", "speedup", "n_clips", "mode",
+              "topup_reps", "control_efficiency", "efficiency_vs_control",
+              "archived_floor"):
+        assert k in s, k
+    # the bulk arrays are exactly what got dropped
+    assert "query_samples" not in compact
+    assert "all_seconds" not in s["lo"] and "all_spin" not in s["hi"]
+    # every query timing survives verbatim
+    assert compact["queries"] == full["queries"]
 
 
 def test_archived_record_artifact_has_contract_keys():

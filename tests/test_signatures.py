@@ -51,6 +51,32 @@ def test_simhash_parity(spark, clips, fused):
         assert r["simhash"] == ref[r["clip_id"]]
 
 
+def test_simhash_ngram_parity_and_decorrelation(spark, clips):
+    """Trigram-feature SimHash (the pipeline default): fused ==
+    standalone bit-for-bit, exact duplicates stay at Hamming 0, and the
+    trigram basis genuinely differs from the unigram one (the point of
+    the feature change)."""
+    from cc_net_spark.operators.signatures import fused_signatures
+
+    ref = {
+        r["clip_id"]: r["simhash"]
+        for r in sh.simhash_signatures(
+            clips, "transcript", "clip_id", ngram=3
+        ).collect()
+    }
+    fused3 = fused_signatures(
+        clips, "transcript", "clip_id", simhash_ngram=3
+    )
+    uni = {}
+    for r in fused3.select("clip_id", "simhash").collect():
+        assert r["simhash"] == ref[r["clip_id"]]
+    uni = {
+        r["clip_id"]: r["simhash"]
+        for r in sh.simhash_signatures(clips, "transcript", "clip_id").collect()
+    }
+    assert any(ref[k] != uni[k] for k in ref if uni[k] != 0)
+
+
 def test_grams_parity(spark, clips, fused):
     ref: dict[str, set] = {}
     rows = ss.doc_window_grams(
