@@ -482,7 +482,13 @@ def cluster_job(
             # it is part of every leg record and the archived-floor match
             simhash_ngram=SIMHASH_NGRAM,
         )
-        clusters, _ = run_near_dup_pipeline(spark, clips_path, workdir, cfg)
+        clusters, manifests = run_near_dup_pipeline(spark, clips_path, workdir, cfg)
+        # row count from the clusters stage manifest (Parquet footers,
+        # driver-side) — a separate count() action costs a Spark job +
+        # its submit gap per leg, pure core-count-invariant time
+        m = manifests.get("clusters") if isinstance(manifests, dict) else None
+        if isinstance(m, dict) and isinstance(m.get("rows"), int):
+            return m["rows"]
         return clusters.count()
     finally:
         if own:

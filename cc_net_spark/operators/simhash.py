@@ -80,7 +80,9 @@ def simhash_from_token_hashes(
 
 
 def _band_exprs(max_hamming: int) -> list:
-    """k+1 contiguous bit bands covering the 64-bit signature."""
+    """k+1 contiguous bit bands covering the 64-bit signature. Each band
+    is one server-side-parsed SQL expression (not a py4j Column chain) —
+    same plan, ~1 gateway round trip per band instead of ~6."""
     n_bands = max_hamming + 1
     widths = [64 // n_bands] * n_bands
     widths[-1] += 64 - sum(widths)
@@ -89,9 +91,9 @@ def _band_exprs(max_hamming: int) -> list:
     for i, w in enumerate(widths):
         mask = (1 << w) - 1
         exprs.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask)).alias("key"),
+            F.expr(
+                f"struct({i} AS band, shiftrightunsigned(simhash, {start})"
+                f" & {mask}L AS key)"
             )
         )
         start += w

@@ -112,8 +112,37 @@ def main():
         })
         prev_end = max(prev_end, b)
     tail_gap = max(0.0, t0 + wall - prev_end)
+    # per-stage detail for the suspicious jobs: single-digit-task jobs on
+    # a >=4-slot cluster are serial exposure — print their stage names +
+    # ALL stages (not just >500 ms) so they can be attributed
+    for r in rows:
+        if (r["tasks"] or 0) <= 2 and r["dur_s"] >= 1.0:
+            r["all_stages"] = [
+                stage_info.get(sid)
+                for sid in next(
+                    j.get("stageIds", [])
+                    for a, b, j in spans
+                    if j["jobId"] == r["job"]
+                )
+                if sid in stage_info
+            ]
     for r in rows:
         print(json.dumps(r))
+    # SQL executions: map the wall time onto logical operations
+    try:
+        for e in _api(base, app_id, "sql?length=200"):
+            if e.get("duration", 0) > 1000:
+                print(json.dumps({
+                    "sql_id": e.get("id"),
+                    "desc": (e.get("description") or "")[:120],
+                    "dur_s": round(e["duration"] / 1000, 2),
+                    "jobs": sorted(
+                        (e.get("successJobIds") or [])
+                        + (e.get("runningJobIds") or [])
+                    ),
+                }))
+    except Exception as exc:
+        print(f"sql endpoint failed: {exc}", file=sys.stderr)
     print(json.dumps({
         "cores": cores, "wall_s": round(wall, 2), "n_jobs": len(spans),
         "sum_job_s": round(total_job, 2),
