@@ -226,6 +226,7 @@ class IncrementalNearDup:
         emb_bands: int = 4,
         emb_seed: int = 7,
         small_batch_mode: bool = False,
+        state_filter_keys: int = 512,
     ):
         unknown = set(families) - set(FAMILIES)
         if unknown or not families:
@@ -275,6 +276,15 @@ class IncrementalNearDup:
         self.emb_n_bits = emb_n_bits
         self.emb_bands = emb_bands
         self.emb_seed = emb_seed
+        # state_filter_keys: when a probe's key set is at most this many
+        # DISTINCT values, the history read also pushes the literal key
+        # set to the Parquet scan (on top of the _kb directory pruning).
+        # This is the WIDE-BATCH lever: a batch whose keys span every
+        # _kb bucket (directory pruning degenerates to a full scan) but
+        # carries few distinct keys still skips row groups, because
+        # compact_state sorts each bucket by key (tight row-group
+        # min/max stats). 0 disables.
+        self.state_filter_keys = state_filter_keys
         # small_batch_mode: low-latency planning for MICRO-batches —
         # process_batch runs under SMALL_BATCH_CONFS (AQE off + driver-
         # side state listings), halving the per-batch job count. Output
@@ -309,14 +319,49 @@ class IncrementalNearDup:
         rows = df.select(self._kb_expr(cols).alias("_kb")).distinct().collect()
         return sorted(r["_kb"] for r in rows)
 
+    def _collect_key_values(self, df: DataFrame, col: str) -> list | None:
+        """Distinct values of ``col`` if there are at most
+        ``state_filter_keys`` of them, else None — the driver-side key
+        set behind the pushed row-group filter on history reads (see
+        the constructor note). One bounded limit+collect; the input is
+        batch-derived and usually already checkpointed."""
+        cap = self.state_filter_keys
+        if cap <= 0:
+            return None
+        rows = df.select(col).distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
+        return [r[0] for r in rows if r[0] is not None]
+
     def _history(
-        self, spark: SparkSession, path: str, before: int, kbs: list[int]
+        self,
+        spark: SparkSession,
+        path: str,
+        before: int,
+        kbs: list[int],
+        key_in: tuple[str, list | None] | None = None,
     ) -> DataFrame | None:
         """Pruned history read: only partitions with ``_batch_id < before``
         AND ``_kb`` in the batch's bucket set are touched (both are hive
-        partition columns — the filter prunes directories, not rows)."""
+        partition columns — the filter prunes directories, not rows).
+        ``key_in=(col, values)`` additionally pushes the batch's literal
+        key set into the Parquet scan — row-group skipping inside the
+        directories the hive filters can't exclude (wide batches); a
+        None values list (key set over the cap) skips the filter."""
         if not kbs:
             return None
+        if key_in is not None and key_in[1] is not None:
+            # parquet pushes In literally only up to this threshold
+            # (beyond it only the min/max range goes down, useless for
+            # hash-spread keys); raise it to the engine's own cap once
+            cur = int(
+                spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
+            )
+            want = max(10, self.state_filter_keys)
+            if cur < want:
+                spark.conf.set(
+                    "spark.sql.parquet.pushdown.inFilterThreshold", str(want)
+                )
         # lock guards only the dict — the listing/schema-inference runs
         # outside it, so concurrent family sections opening DIFFERENT
         # state tables don't serialize (two threads racing the SAME
@@ -332,16 +377,30 @@ class IncrementalNearDup:
             hist = self._read_cache[path]
         if hist is None:
             return None
-        return hist.filter(
+        out = hist.filter(
             (F.col("_batch_id") < before) & F.col("_kb").isin(kbs)
         )
+        if key_in is not None and key_in[1] is not None:
+            out = out.filter(F.col(key_in[0]).isin(key_in[1]))
+        return out
 
     def _hist_by_id(
         self, spark: SparkSession, path: str, before: int, ids: DataFrame, idc: str
     ) -> DataFrame | None:
         """Pruned read of an id-bucketed state table (sigs/audiosigs)
-        restricted to the buckets containing ``ids``."""
-        return self._history(spark, path, before, self._bucket_ids(ids, [idc]))
+        restricted to the buckets containing ``ids`` — and, when the
+        bucket set has degenerated to (nearly) the whole directory tree,
+        to the literal ids via the pushed row-group filter. The key
+        collect is paid ONLY in that wide case: a narrow shard is
+        already served by directory pruning, and the common small-batch
+        path stays at its old job count."""
+        kbs = self._bucket_ids(ids, [idc])
+        key_vals = (
+            self._collect_key_values(ids, idc)
+            if len(kbs) * 2 >= self.n_state_buckets
+            else None
+        )
+        return self._history(spark, path, before, kbs, key_in=(idc, key_vals))
 
     def _check_meta(self, spark: SparkSession) -> None:
         """``n_state_buckets`` is baked into the on-disk layout; probing
@@ -451,8 +510,17 @@ class IncrementalNearDup:
             F.sum(F.when(is_hot, F.col("_bsz")).otherwise(0)),
             F.collect_set(F.when(~is_hot, self._kb_expr(keys))),
         ).first()
+        # wide-batch row-group filter: when the batch's (non-hot) key set
+        # is small, push the literal keys of the SELECTIVE column (the
+        # last key col — 'key' for band tables, 'word' for audio) into
+        # the history scan; cheap precheck on the already-counted bucket
+        # number avoids the collect for genuinely wide key sets
+        key_vals = None
+        if 0 < int(n_buckets or 0) - int(n_hot or 0) <= self.state_filter_keys:
+            key_vals = self._collect_key_values(bsz.filter(~is_hot), keys[-1])
         hist_rows = self._history(
-            spark, hist_path, batch_id, sorted(kb_set or [])
+            spark, hist_path, batch_id, sorted(kb_set or []),
+            key_in=(keys[-1], key_vals),
         )
         cross = None
         if hist_rows is not None:
@@ -777,9 +845,18 @@ class IncrementalNearDup:
             # semijoin then narrows to exactly the batch's keys — the
             # min-id representative is computed over matching keys only,
             # never a corpus-wide groupBy
+            ek_kbs = self._bucket_ids(tkeys, ["tkey"])
             hist_ek = self._history(
-                spark, self.exactkeys_path, batch_id,
-                self._bucket_ids(tkeys, ["tkey"]),
+                spark, self.exactkeys_path, batch_id, ek_kbs,
+                # key filter only when directory pruning degenerated
+                # (see _hist_by_id) — narrow shards stay at the old
+                # job count
+                key_in=(
+                    "tkey",
+                    self._collect_key_values(tkeys, "tkey")
+                    if len(ek_kbs) * 2 >= self.n_state_buckets
+                    else None,
+                ),
             )
             if hist_ek is not None:
                 batch_tkeys = tkeys.select("tkey").distinct()
@@ -1103,6 +1180,11 @@ class IncrementalNearDup:
                 # is fine (a task owns several buckets, still one file
                 # each) and keeps small-batch task overhead flat.
                 .repartition(min(16, self.n_state_buckets), F.col("_kb"))
+                # sorted within each bucket run by the PROBE key (last
+                # bucket column): row-group min/max stats stay tight on
+                # the column the pushed wide-batch filters
+                # (state_filter_keys) probe, in UNCOMPACTED partitions too
+                .sortWithinPartitions("_kb", kb_cols[-1])
                 .write.mode("overwrite")
                 .partitionBy("_kb")
                 .parquet(_join_path(path, f"_batch_id={batch_id}"))
@@ -1148,6 +1230,7 @@ def compact_state(
     *,
     upto_batch: int,
     id_col: str = "clip_id",
+    row_group_bytes: int | None = None,
 ) -> None:
     """Maintenance: rewrite the append-only LSH state partitions below
     ``upto_batch`` into ONE partition per table — small-file compaction
@@ -1163,7 +1246,17 @@ def compact_state(
     and can never replay). Compacted rows are rebadged to partition
     ``upto_batch - 1``; a replay of any batch >= upto_batch probes
     ``_batch_id < current`` and still sees all compacted history, while
-    partitions >= upto_batch pass through unchanged."""
+    partitions >= upto_batch pass through unchanged.
+
+    Compacted rows are SORTED within each ``_kb`` bucket by the table's
+    probe keys, so Parquet row-group min/max statistics carry tight key
+    ranges: a wide batch whose keys span every ``_kb`` bucket (where
+    directory pruning degenerates to a full scan) still skips row
+    groups under the probes' pushed key filters (see
+    ``IncrementalNearDup.state_filter_keys``). ``row_group_bytes``
+    overrides ``parquet.block.size`` for the compacted files — smaller
+    groups = finer skipping granularity (and testability at small
+    scale); None keeps the Parquet default (128 MB)."""
     fs_, jcur = _hadoop_fs(spark, _join_path(state_path, "CURRENT"))
     if fs_.exists(jcur):
         raise ValueError(
@@ -1193,15 +1286,23 @@ def compact_state(
             continue
         old = df.filter(F.col("_batch_id") < upto_batch)
         w = Window.partitionBy(*keys).orderBy("_batch_id")
-        (
+        writer = (
             old.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_batch_id")
+            # sorted within each bucket by the PROBE key (the last key
+            # column — 'key' for band tables, 'tkey'/'word'/id for the
+            # rest): row-group min/max stats get tight ranges on exactly
+            # the column the wide-batch pushed filters probe
+            .sortWithinPartitions("_kb", keys[-1])
             # ``_kb`` survives as a read-back partition column — keep the
             # bucketed layout so probes against compacted state prune too
             .write.mode("overwrite")
-            .partitionBy("_kb")
-            .parquet(_join_path(out_path, sub, f"_batch_id={upto_batch - 1}"))
+        )
+        if row_group_bytes is not None:
+            writer = writer.option("parquet.block.size", row_group_bytes)
+        writer.partitionBy("_kb").parquet(
+            _join_path(out_path, sub, f"_batch_id={upto_batch - 1}")
         )
         # uncompacted (possibly replayable) batches: copied verbatim,
         # keeping their own partition values
