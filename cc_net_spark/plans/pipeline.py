@@ -80,6 +80,17 @@ class NearDupConfig:
     # matters less than latency. include_exact_hashes toggles the cc_net
     # hash-table artifact stage (not consumed by clustering).
     fused_pairs: bool = False
+    # cache_signatures (fused_pairs only): skip the materialized
+    # signatures stage — the fused edges job persists the signature scan
+    # executor-local (DISK_ONLY) and the four pair families read the
+    # cache. ONE action instead of two: saves the signatures stage
+    # commit + parquet read-back + edges plan barrier (~2.5-3 s of
+    # core-invariant driver time), at the cost of the signatures resume
+    # checkpoint (an executor loss recomputes lost cache partitions from
+    # source; a driver loss reruns the edges stage). validate_ids
+    # "observe" is skipped in this shape (its Observation rides the
+    # signatures write); "strict" still works.
+    cache_signatures: bool = False
     include_exact_hashes: bool = True
     # cluster-profile metrics (n_clusters distinct count) cost two extra
     # Spark jobs on the final table — opt-in (manifests already carry
@@ -192,7 +203,7 @@ def build_stages(
     def stage_exact_hashes(spark: SparkSession) -> DataFrame:
         return ed.build_hashes(ed.paragraph_hashes(load_clips(spark), txt, idc))
 
-    def stage_signatures(spark: SparkSession) -> DataFrame:
+    def _raw_signatures(spark: SparkSession) -> DataFrame:
         # THE one corpus scan: every downstream pair family reads this table
         sig = fused_signatures(
             load_clips(spark), txt, idc,
@@ -206,6 +217,10 @@ def build_stages(
             # surrogate id, JVM-side (whole-stage codegen, no UDF cost);
             # 8 bytes/row in the signatures parquet
             sig = sig.withColumn("sid", F.xxhash64(F.col(idc)))
+        return sig
+
+    def stage_signatures(spark: SparkSession) -> DataFrame:
+        sig = _raw_signatures(spark)
         if cfg.validate_ids == "none":
             return sig
         # null-id contract check riding the stage's own write action
@@ -445,6 +460,34 @@ def build_stages(
         if cfg.include_exact_hashes
         else []
     )
+    def stage_edges_fused_cached(spark: SparkSession):
+        """ONE-ACTION fused shape (cache_signatures=True): the signature
+        scan is persisted executor-local (DISK_ONLY — recomputable from
+        source on executor loss, Spark's standard cache tier) INSIDE the
+        edges job instead of committing a parquet stage first. Trades
+        the signatures resume checkpoint for one fewer action + stage
+        commit + edges plan barrier (~2.5-3 s of core-count-invariant
+        driver time per run — the Amdahl cost that caps short-job
+        scaling). The four families read the cache instead of the
+        parquet read-back; results are identical (parity-tested)."""
+        from pyspark import StorageLevel
+
+        sig = _raw_signatures(spark).persist(StorageLevel.DISK_ONLY)
+        return stage_edges_fused(spark, sig)
+
+    if cfg.fused_pairs and cfg.cache_signatures:
+        return [
+            *head,
+            Stage("edges", stage_edges_fused_cached, external_inputs=ext,
+                  params=_sig_params(cfg)),
+            Stage(
+                "clusters",
+                stage_clusters,
+                inputs=["edges"],
+                external_inputs=ext,
+                metrics_fn=metrics_fn,
+            ),
+        ]
     if cfg.fused_pairs:
         return [
             *head,

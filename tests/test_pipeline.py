@@ -111,6 +111,16 @@ def test_fused_pipeline_matches_staged(spark, clips_path, tmp_path):
     b = {r["clip_id"]: r["cluster_id"] for r in fused.collect()}
     assert a == b
     assert set(m) == {"signatures", "edges", "clusters"}
+    # ONE-ACTION fused shape (cache_signatures): signatures persisted
+    # executor-local inside the edges job instead of a committed parquet
+    # stage — exact same clusters, no signatures stage in the manifests
+    cached_cfg = replace(fused_cfg, cache_signatures=True)
+    cached, mc = run_near_dup_pipeline(
+        spark, clips_path, str(tmp_path / "wc"), cached_cfg
+    )
+    c = {r["clip_id"]: r["cluster_id"] for r in cached.collect()}
+    assert c == a
+    assert set(mc) == {"edges", "clusters"}
 
 
 def test_fold_edges_matches_materialized_edges(spark, clips_path, tmp_path):
