@@ -130,15 +130,17 @@ with open(OUT, "a") as f:
         if not probe["healthy"]:
             time.sleep(180)
             continue
-        # The lo leg is near-deterministic on this box (127.6-127.7 s
-        # across every window grade today: a 1-core leg never approaches
-        # the throttle bucket's refill rate), while the hi leg swings
-        # 45-138 s with mid-leg bandwidth luck — ALL the measurement
-        # variance. Once the lo floor is established (>= WR_LO_SAMPLES
-        # samples), healthy windows are spent on extra hi samples
-        # (WR_HI_PER_PAIR per window) instead of re-measuring a constant.
-        # Every sample still lands in the artifact.
-        lo_done = len(legs[LO]) >= int(os.environ.get("WR_LO_SAMPLES", "2"))
+        # Default: SYMMETRIC interleaved pairs. Hi-only sampling after a
+        # pinned lo floor saves ~60% of each pair's budget BUT is
+        # structurally biased (min() over many hi draws vs a frozen lo —
+        # the round-4 ADVICE finding; the lo floor also drifted ~8%
+        # across box eras, so it is not the constant the optimization
+        # assumed). Opt back in with WR_LO_SAMPLES=<n> for budget-
+        # constrained hunts; the per-leg sample counts stay visible in
+        # the artifact either way.
+        lo_done = len(legs[LO]) >= int(
+            os.environ.get("WR_LO_SAMPLES", "1000000000")
+        )
         plan = ([HI] if lo_done else [LO, HI]) * int(
             os.environ.get("WR_HI_PER_PAIR", "1") if lo_done else 1
         )
