@@ -162,9 +162,27 @@ def deduplicate_two_pass(
     docs: DataFrame, field: str = "raw_content", id_col: str = "doc_id"
 ) -> DataFrame:
     """Build + probe in one call (``cc_net/dedup.py:459-478``): every copy of
-    any paragraph occurring >= 2 times corpus-wide is removed."""
-    hashes = build_hashes(paragraph_hashes(docs, field, id_col))
-    return remove_duplicates(docs, hashes, field, id_col)
+    any paragraph occurring >= 2 times corpus-wide is removed.
+
+    Fused shape (round 6): the generic ``build_hashes`` + ``remove_
+    duplicates`` composition scans + normalizes + sha1-hashes the corpus
+    TWICE (once per side of the build/probe join) and then runs an
+    in-doc keep-first window that is provably a no-op here — a surviving
+    hash has corpus-wide count 1, so each (doc, hash) group is a single
+    row. One window count over ``hash`` computes the same survivor set
+    from ONE paragraph-hash pass with ONE exchange (the reassembly
+    groupBy is the only other shuffle). Output is row-identical to the
+    old composition (asserted by ``tests/test_dedup.py``); callers with
+    an EXTERNAL hash table still use ``remove_duplicates``, where the
+    keep-first window is genuinely needed."""
+    paras = paragraph_hashes(docs, field, id_col)
+    w = Window.partitionBy("hash")
+    kept = (
+        paras.withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .filter((F.col("_cnt") == 1) & (F.col("hash") != 0))
+        .select(id_col, "line_id", "line")
+    )
+    return _reassemble(docs, kept, field, id_col)
 
 
 def deduplicate_keep_first(

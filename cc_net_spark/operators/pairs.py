@@ -179,7 +179,17 @@ def candidate_pairs(
         *[F.col(c).alias(f"{c}_b") for c in carry],
     )
     out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
-    pairs = left.join(right, bucket_cols, "inner").filter(
+    # MERGE hint: without it the planner broadcasts one side of the
+    # self-join whenever the band table estimate fits the threshold —
+    # which RECOMPUTES the whole exchange+window subtree for the build
+    # side and serializes the full band table, instead of the
+    # one-exchange ReusedExchange shape this operator is designed
+    # around. SMJ's sort requirement is already satisfied by the
+    # window's (bucket_cols) sort, so the hint costs nothing (measured:
+    # 0.85 s vs 1.03 s warm, 1.1 vs 3.1 cold on the 20k-clip minhash
+    # band join; identical rows), and sort-merge is the graceful-spill
+    # choice at corpus scale anyway.
+    pairs = left.join(right.hint("merge"), bucket_cols, "inner").filter(
         F.col("id_a") < F.col("id_b")
     )
     if pair_filter is not None:
@@ -260,10 +270,13 @@ def salted_candidate_pairs(
             *[F.col(c).alias(f"{c}_a") for c in carry],
         )
         .join(
+            # merge hint: see candidate_pairs — keeps the self-join on
+            # the reused window exchange instead of a broadcast that
+            # recomputes the subtree
             cold.select(
                 *bucket_cols, F.col(id_col).alias("id_b"),
                 *[F.col(c).alias(f"{c}_b") for c in carry],
-            ),
+            ).hint("merge"),
             bucket_cols,
         )
         .filter(F.col("id_a") < F.col("id_b"))
@@ -306,7 +319,11 @@ def salted_candidate_pairs(
             F.when(swapped, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_b")
         )
     hot_pairs = (
-        left.join(right, [*bucket_cols, "_lo", "_hi"])
+        # merge hint: the hot branch's sides are the same exploded hot
+        # rows — a broadcast build would recompute the window+explode
+        # subtree and serialize a hot bucket's full tiling (unbounded at
+        # corpus scale); SMJ shuffles each side once on the salted key
+        left.join(right.hint("merge"), [*bucket_cols, "_lo", "_hi"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select(*canon)
     )

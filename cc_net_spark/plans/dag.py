@@ -240,6 +240,14 @@ class StageRunner:
         self.spark = spark
         self.workdir = Path(workdir)
         self.use_snapshots = use_snapshots
+        # external-input fingerprints memoized per run() invocation: the
+        # same source table is fingerprinted by every stage that reads it
+        # (skip check + manifest write — up to 2x per stage, 6 stat
+        # walks of the corpus listing per 3-stage pipeline). Within one
+        # run() the input is immutable by contract (a mid-run mutation
+        # was never detectable anyway — the walk happens once per stage,
+        # not per read), so one walk per path is equivalent.
+        self._ext_cache: dict[str, str] = {}
         (self.workdir / "_manifest").mkdir(parents=True, exist_ok=True)
 
     def _table(self, stage: str):
@@ -265,6 +273,11 @@ class StageRunner:
         m = self.read_manifest(stage)
         return m["fingerprint"] if m else ""
 
+    def _ext_fp(self, path: str) -> str:
+        if path not in self._ext_cache:
+            self._ext_cache[path] = fingerprint_external(path, self.spark)
+        return self._ext_cache[path]
+
     def is_complete(self, stage: Stage) -> bool:
         m = self.read_manifest(stage.name)
         if m is None:
@@ -284,9 +297,7 @@ class StageRunner:
         expected = {i: self._fingerprint(i) for i in stage.inputs}
         if m.get("input_fingerprints", {}) != expected:
             return False
-        expected_ext = {
-            e: fingerprint_external(e, self.spark) for e in stage.external_inputs
-        }
+        expected_ext = {e: self._ext_fp(e) for e in stage.external_inputs}
         return m.get("external_fingerprints", {}) == expected_ext
 
     # -- execution ---------------------------------------------------------
@@ -327,6 +338,9 @@ class StageRunner:
         caps scaling efficiency on short stages. Results and manifests
         are identical to the sequential order (stage outputs are
         independent files; each level is a barrier)."""
+        # fresh external fingerprints per run(): resume across separate
+        # run() calls must still observe source-table changes
+        self._ext_cache.clear()
         if max_parallel > 1:
             return self._run_parallel(stages, force=force, max_parallel=max_parallel)
         results: dict[str, dict] = {}
@@ -436,7 +450,7 @@ class StageRunner:
             "wall_seconds": round(time.time() - t0, 3),
             "input_fingerprints": {i: self._fingerprint(i) for i in st.inputs},
             "external_fingerprints": {
-                e: fingerprint_external(e, self.spark) for e in st.external_inputs
+                e: self._ext_fp(e) for e in st.external_inputs
             },
             "fingerprint": fingerprint_listing(partitions),
             "schema": schema_json,

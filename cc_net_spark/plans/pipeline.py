@@ -168,14 +168,19 @@ def _sig_params(cfg: NearDupConfig) -> str | None:
     """Config fingerprint for the signatures stage checkpoint: every
     field that changes the table's CONTENT must appear here, or a
     resumed workdir would silently serve a stale table after a config
-    flip (the Stage.params contract, plans/dag.py). Defaults fingerprint
-    to None so historical checkpoints stay resumable."""
+    flip (the Stage.params contract, plans/dag.py). Absence of a field
+    in the fingerprint must mean the HISTORICAL content of checkpoints
+    written before that field existed: pre-trigram workdirs hold
+    UNIGRAM SimHash under params=None, so the trigram default (3) must
+    emit its value — otherwise a resumed workdir silently serves the
+    over-merging unigram signatures the trigram change exists to fix —
+    while an explicit ngram=1 run stays resumable against them."""
     parts = [
         p
         for p in (
             "int_ids=True" if cfg.int_ids else None,
             f"simhash_ngram={cfg.simhash_ngram}"
-            if cfg.simhash_ngram != 3
+            if cfg.simhash_ngram != 1
             else None,
         )
         if p
@@ -473,7 +478,13 @@ def build_stages(
         from pyspark import StorageLevel
 
         sig = _raw_signatures(spark).persist(StorageLevel.DISK_ONLY)
-        return stage_edges_fused(spark, sig)
+        edges, metrics = stage_edges_fused(spark, sig)
+        # StageRunner resolves callable metrics right AFTER the stage's
+        # write action — the earliest point the cache is no longer
+        # needed. Without this the executor-local cache (a full corpus
+        # scan's worth of blocks) is retained for the session lifetime.
+        metrics["sig_cache_released"] = lambda: bool(sig.unpersist()) or True
+        return edges, metrics
 
     if cfg.fused_pairs and cfg.cache_signatures:
         return [

@@ -183,9 +183,16 @@ def q_dup_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.operators.pairs import candidate_pairs
 
     paras = _chunk_paras(spark, sf_dir).select("doc_id", "hash")
-    return candidate_pairs(paras, ["hash"], "doc_id", bucket_cap=1_000_000).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    # assume_unique skips candidate_pairs' defensive (hash, doc_id)
+    # dropDuplicates — a full extra exchange that cannot change THIS
+    # query's output: a paragraph repeated within one doc adds rows to
+    # its hash bucket, but same-id rows never satisfy id_a < id_b and
+    # the final distinct dedups the (bounded) pair-row inflation; the
+    # 1M bucket cap is far above any same-hash multiplicity the driver
+    # corpora reach, so cap behavior is unchanged too (oracle-verified).
+    return candidate_pairs(
+        paras, ["hash"], "doc_id", bucket_cap=1_000_000, assume_unique=True
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
 
 SQL_DUP_PAIRS = (
@@ -1156,7 +1163,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.operators import minhash as mh
 
     docs = load(spark, sf_dir, "documents")
-    sig = mh.shingle_signatures(docs, "text", "doc_id", shingle_size=5, num_perm=128)
+    # lazy checkpoint: the signature subtree is consumed THREE times in
+    # this plan (band generation + both sides of the verify join) — each
+    # consumer would otherwise re-run the full normalize+shingle+MinHash
+    # Arrow scan (guide §4.4's duplicated-opaque-subtree cost). One
+    # materialization, same rows; the batch pipeline does the same via
+    # its signatures stage table.
+    sig = mh.shingle_signatures(
+        docs, "text", "doc_id", shingle_size=5, num_perm=128
+    ).localCheckpoint(eager=False)
     cand = mh.minhash_candidate_pairs(sig, "doc_id", bands=64, rows_per_band=2)
     # the operator canonicalizes pair order on its (string) id type;
     # re-canonicalize numerically to match the SQL oracle's a < b
@@ -1197,7 +1212,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.operators import simhash as sh
 
     docs = load(spark, sf_dir, "documents")
-    sim = sh.simhash_signatures(docs, "text", "doc_id")
+    # lazy checkpoint: the signature subtree is consumed four times
+    # (oracle export + band generation + both verify sides); the export
+    # write below is the first action and materializes it once
+    sim = sh.simhash_signatures(docs, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
     sim.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash").write.mode(
         "overwrite"
     ).parquet(f"{ORACLE_EXPORT}/simhash_sigs")
@@ -1365,10 +1385,19 @@ def q_clips_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.sources import synth
 
     n = _synth_n(sf_dir, synth.ROLES_PER_GROUP)
-    clips = synth.generate_clips(spark, n, seed=42, with_audio=False).select(
-        "clip_id", "transcript"
+    # lazy checkpoints: the corpus feeds four independent consumers
+    # (minhash sig, exact hash, substring grams, the final assign) and
+    # the signature table three (bands + both verify sides) — without
+    # materialization each consumer re-synthesizes and re-normalizes
+    # the whole corpus (guide §4.4 duplicated-opaque-subtree cost)
+    clips = (
+        synth.generate_clips(spark, n, seed=42, with_audio=False)
+        .select("clip_id", "transcript")
+        .localCheckpoint(eager=False)
     )
-    sig = mh.shingle_signatures(clips, "transcript", "clip_id", num_perm=128)
+    sig = mh.shingle_signatures(
+        clips, "transcript", "clip_id", num_perm=128
+    ).localCheckpoint(eager=False)
     mh_pairs = mh.verify_jaccard(
         mh.minhash_candidate_pairs(sig, "clip_id"), sig, "clip_id", threshold=0.5
     ).select("id_a", "id_b")
@@ -1423,9 +1452,14 @@ def q_clips_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.sources import synth
 
     n = _synth_n(sf_dir, synth.ROLES_PER_GROUP)
+    # the full corpus (with audio bytes) is NOT checkpointed — caching
+    # payload blobs loses to re-synthesis (see q_audio_near_dup); the
+    # narrow transcript projection IS, because it feeds four consumers
     clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
-    texts = clips.select("clip_id", "transcript")
-    sig = mh.shingle_signatures(texts, "transcript", "clip_id", num_perm=128)
+    texts = clips.select("clip_id", "transcript").localCheckpoint(eager=False)
+    sig = mh.shingle_signatures(
+        texts, "transcript", "clip_id", num_perm=128
+    ).localCheckpoint(eager=False)
     mh_pairs = mh.verify_jaccard(
         mh.minhash_candidate_pairs(sig, "clip_id"), sig, "clip_id", threshold=0.5
     ).select("id_a", "id_b")
@@ -1492,6 +1526,12 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_net_spark.sources import synth
 
     n = _synth_n(sf_dir, synth.ROLES_PER_GROUP)
+    # NOT checkpointed, deliberately (round-6 A/B): the corpus is
+    # consumed twice (fingerprint scan + SNR verify scan), but
+    # materializing the payload blobs costs more than re-synthesizing
+    # them — caching pushes every byte through the block store while
+    # the second consumer decodes only matched ids (measured: ckpt
+    # 4.27 s vs recompute 3.10 s in the same window)
     clips = synth.generate_clips(spark, n, seed=42, with_audio=True)
     return audio_near_dup_pairs(clips).select("id_a", "id_b")
 
@@ -1569,6 +1609,8 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n = _synth_n(sf_dir, IMG_ROLES_PER_GROUP)
+    # not checkpointed — payload caching loses to re-synthesis (see
+    # q_audio_near_dup)
     images = generate_image_corpus(spark, n, seed=42)
     return image_near_dup_pairs(images).select("id_a", "id_b")
 
@@ -1595,6 +1637,8 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n = _synth_n(sf_dir, VID_ROLES_PER_GROUP)
+    # not checkpointed — payload caching loses to re-synthesis (see
+    # q_audio_near_dup)
     videos = generate_video_corpus(spark, n, seed=42)
     return video_near_dup_pairs(videos).select("id_a", "id_b")
 

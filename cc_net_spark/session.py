@@ -71,6 +71,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
         )
         .config("spark.io.compression.zstd.level", "1")
+        # parquet zstd level 1, not the parquet-mr default (3): the
+        # engine's dominant stage-table bytes are hash arrays
+        # (shingles/grams/sigs — high-entropy by construction), where
+        # level 3 buys ZERO extra ratio (measured: 40 MB at both levels
+        # on the 20k-clip signatures table) and costs ~10% of the stage
+        # wall in compressor CPU. Text-bearing tables compress the same
+        # few percent either way.
+        .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

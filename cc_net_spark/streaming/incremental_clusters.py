@@ -197,14 +197,26 @@ class IncrementalClusters:
         *, pruned: bool = True,
     ) -> DataFrame:
         """Follow alias chains until every ``root`` is current. Each hop
-        is one pruned ``calias`` read + one join; the loop's count action
-        doubles as the convergence test. Zero-merge histories exit on the
-        first hop (absent table / empty pruned read)."""
+        is one pruned ``calias`` filter + one join; the loop's count
+        action doubles as the convergence test. Zero-merge histories
+        exit BEFORE any Spark action (absent table — the common steady
+        state probe — used to pay a bucket-id collect per call just to
+        discover there was nothing to read), and the table is listed
+        once per call rather than once per hop."""
+        alias_base = _read_optional(spark, self.calias_path)
+        if alias_base is None:
+            return df
+        if before is not None:
+            alias_base = alias_base.filter(F.col("_batch_id") < before)
         for _hop in range(self.max_alias_hops):
             kbs = self._bucket_ids(df, "root") if pruned else None
-            alias = self._history(spark, self.calias_path, before, kbs)
-            if alias is None:
+            if kbs is not None and not kbs:
                 return df
+            alias = (
+                alias_base.filter(F.col("_kb").isin(kbs))
+                if kbs is not None
+                else alias_base
+            )
             alias = (
                 self._dedupe_earliest(alias, "old_root")
                 .select(F.col("old_root").alias("root"), "new_root")
@@ -226,7 +238,14 @@ class IncrementalClusters:
 
     # -- per-batch update -------------------------------------------------
 
-    def update(self, batch_ids: DataFrame, pairs: DataFrame, batch_id: int) -> None:
+    def update(
+        self,
+        batch_ids: DataFrame,
+        pairs: DataFrame,
+        batch_id: int,
+        *,
+        pairs_rows: int | None = None,
+    ) -> None:
         """Fold one batch's duplicate pairs into the cluster state.
 
         ``batch_ids``: one column (``id_col``) holding every id that
@@ -235,6 +254,16 @@ class IncrementalClusters:
         ``batch_ids`` are history references resolved via pruned state
         reads. Safe to replay: reads see only ``_batch_id < batch_id``,
         writes overwrite only this batch's partition dirs.
+
+        ``pairs_rows``: caller-known upper bound on the pairs row count
+        (e.g. Parquet footer metadata — ``fold_new_batches`` passes it).
+        The merge graph maps each pair endpoint to at most TWO roots
+        (its arrival row and its state row), so ``4 * pairs_rows``
+        bounds the derived edge count; when that bound clears the
+        driver threshold, connected_components skips its sizing
+        distinct + count() — one full shuffle and one action fewer per
+        fold, on the path whose wall is almost entirely serial job
+        barriers.
         """
         spark = batch_ids.sparkSession
         idc = self.id_col
@@ -304,8 +333,15 @@ class IncrementalClusters:
             )
             .select(F.col("_ra").alias("id_a"), F.col("_rb").alias("id_b"))
         )
+        edge_bound = (
+            pairs_rows * 4
+            if pairs_rows is not None
+            and pairs_rows * 4 <= self.driver_threshold
+            else None
+        )
         comp = connected_components(
-            edges, driver_threshold=self.driver_threshold
+            edges, driver_threshold=self.driver_threshold,
+            edge_count=edge_bound,
         ).localCheckpoint(eager=False)
 
         def final_root(df: DataFrame) -> DataFrame:
@@ -488,6 +524,27 @@ def compact_clusters_state(
         )
 
 
+def _parquet_footer_rows(path: str) -> int | None:
+    """Row count of a LOCAL parquet dir from footers only (no Spark job)
+    — the sizing hint ``fold_new_batches`` feeds ``update``. Best-effort:
+    scheme URIs (s3a/hdfs) return None and the fold falls back to the
+    sizing count it always ran."""
+    if "://" in str(path):
+        return None
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    try:
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in (sorted(p.rglob("*.parquet")) if p.is_dir() else [p])
+        )
+    except OSError:
+        return None
+
+
 def _batch_dirs(spark: SparkSession, path: str) -> list[int]:
     """Batch ids of the ``_batch_id=`` hive partitions under ``path`` —
     a pure FS-metadata probe (scheme-safe), [] if the dir is absent."""
@@ -581,10 +638,14 @@ def fold_new_batches(
         ids = spark.read.parquet(
             _join_path(flags_base, f"_batch_id={b}")
         ).select(id_col)
-        pairs = _read_optional(spark, _join_path(pairs_base, f"_batch_id={b}"))
+        pairs_dir = _join_path(pairs_base, f"_batch_id={b}")
+        pairs = _read_optional(spark, pairs_dir)
         if pairs is None:
             # a flags partition always has a pairs sibling (the handler
             # writes both per batch) — tolerate its absence as "no edges"
             pairs = spark.createDataFrame([], "id_a string, id_b string")
-        ic.update(ids, pairs, b)
+            rows = 0
+        else:
+            rows = _parquet_footer_rows(pairs_dir)
+        ic.update(ids, pairs, b, pairs_rows=rows)
     return todo

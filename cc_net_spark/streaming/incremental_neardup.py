@@ -350,18 +350,6 @@ class IncrementalNearDup:
         None values list (key set over the cap) skips the filter."""
         if not kbs:
             return None
-        if key_in is not None and key_in[1] is not None:
-            # parquet pushes In literally only up to this threshold
-            # (beyond it only the min/max range goes down, useless for
-            # hash-spread keys); raise it to the engine's own cap once
-            cur = int(
-                spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
-            )
-            want = max(10, self.state_filter_keys)
-            if cur < want:
-                spark.conf.set(
-                    "spark.sql.parquet.pushdown.inFilterThreshold", str(want)
-                )
         # lock guards only the dict — the listing/schema-inference runs
         # outside it, so concurrent family sections opening DIFFERENT
         # state tables don't serialize (two threads racing the SAME
@@ -411,6 +399,27 @@ class IncrementalNearDup:
         if self._meta_checked:
             return
         import json as _json
+
+        # SESSION-SCOPED, set once up front (not lazily inside a read
+        # helper): parquet pushes an In-filter literally only up to this
+        # threshold — beyond it only the min/max range goes down, useless
+        # for hash-spread keys — so the wide-batch row-group skip
+        # (state_filter_keys) needs it raised. It applies to every query
+        # in the session; raising it is benign for unrelated scans (the
+        # planner still only pushes filters queries actually have), and
+        # doing it here makes the mutation visible at handler setup
+        # rather than a surprise inside the first probe's plan.
+        if self.state_filter_keys > 0:
+            cur = int(
+                spark.conf.get(
+                    "spark.sql.parquet.pushdown.inFilterThreshold", "10"
+                )
+            )
+            want = max(10, self.state_filter_keys)
+            if cur < want:
+                spark.conf.set(
+                    "spark.sql.parquet.pushdown.inFilterThreshold", str(want)
+                )
 
         # a POINTER root passed as a plain state path would silently
         # write sigs/ beside v0/ and ignore all pointer-resolved history
@@ -1204,11 +1213,17 @@ class IncrementalNearDup:
             lambda: write(pairs, _join_path(self.output_path, "pairs")),
             lambda: write(metrics, _join_path(self.output_path, "metrics")),
         ])
-        # flags reuse the now-checkpointed pairs
-        write(flags, _join_path(self.output_path, "flags"))
-        # state appends LAST: a crash before this point leaves no state,
-        # and the replay rewrites only this batch's partitions; the
-        # per-table appends are independent -> concurrent jobs
+        # flags (which reuse the now-checkpointed pairs) and the state
+        # appends share ONE concurrent barrier — the probe's wall is
+        # almost entirely serial job barriers, and these jobs are
+        # mutually independent. State still commits strictly AFTER the
+        # pairs evidence (a crash can never leave state rows whose
+        # match evidence is missing); the only new torn shape is
+        # state-without-flags, which at-least-once replay rewrites
+        # wholesale (history probes filter ``_batch_id < current``, so
+        # a batch's own half-written state stays invisible to its
+        # replay), and fold_new_batches keys off the flags dirs, so a
+        # torn batch is simply not folded until the replay lands it.
         state_jobs = []
         if need_text:
             state_jobs.append(lambda: write_state(
@@ -1220,7 +1235,10 @@ class IncrementalNearDup:
             lambda df=df, path=path, kb=kb_cols: write_state(df, path, kb)
             for df, path, kb_cols in state_writes
         )
-        _run_parallel(state_jobs)
+        _run_parallel([
+            lambda: write(flags, _join_path(self.output_path, "flags")),
+            *state_jobs,
+        ])
 
 
 def compact_state(

@@ -208,3 +208,24 @@ def test_fallback_join_two_key_semantics(spark):
         fallback_join(docs, lookup, primary="url", fallback="domain").explain()
     plan = buf.getvalue()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sig_params_fingerprints_trigram_default():
+    """Absence in the signatures-stage fingerprint must mean HISTORICAL
+    content: pre-trigram checkpoints hold unigram SimHash under
+    params=None, so the trigram default must emit its value (a resumed
+    workdir would otherwise silently serve the over-merging unigram
+    table), while an explicit ngram=1 run stays resumable against the
+    old checkpoints (ADVICE r5 high finding)."""
+    from cc_net_spark.plans.pipeline import NearDupConfig, _sig_params
+
+    assert _sig_params(NearDupConfig()) == "simhash_ngram=3"
+    assert _sig_params(NearDupConfig(simhash_ngram=1)) is None
+    assert _sig_params(NearDupConfig(simhash_ngram=2)) == "simhash_ngram=2"
+    assert (
+        _sig_params(NearDupConfig(int_ids=True, simhash_ngram=1)) == "int_ids=True"
+    )
+    assert (
+        _sig_params(NearDupConfig(int_ids=True))
+        == "int_ids=True,simhash_ngram=3"
+    )
