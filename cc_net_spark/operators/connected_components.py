@@ -118,6 +118,14 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     if not len(pdf):
         return e.sparkSession.createDataFrame([], _assign_schema(e))
     arr = np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
+    if arr.dtype == object:
+        # string ids arrive as an object array whose np.unique falls
+        # back to per-element python compares (~1 s/M ids — a pure
+        # DRIVER cost that does not shrink with executors). Fixed-width
+        # numpy unicode sorts with C memcmp at ~10x that; code-point
+        # order matches both python str and Spark UTF8String ordering,
+        # so labels are unchanged.
+        arr = arr.astype("U")
     uniq, inv = np.unique(arr, return_inverse=True)
     m = len(pdf)
     u, v = inv[:m], inv[m:]

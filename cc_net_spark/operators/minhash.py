@@ -174,27 +174,26 @@ def verify_jaccard(
     usually broadcasts under AQE.
     """
     has_n = "n_shingles" in sig_df.columns
-    n_expr = F.col("n_shingles") if has_n else F.size("shingles")
-    sh = sig_df.select(
-        F.col(id_col), F.col("shingles"), n_expr.cast("int").alias("_nsh")
+    n_src = "`n_shingles`" if has_n else "size(`shingles`)"
+    sh = sig_df.selectExpr(
+        f"`{id_col}`", "`shingles`", f"CAST({n_src} AS INT) AS _nsh"
     )
-    a = sh.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("_sh_a"),
-        F.col("_nsh").alias("_na"),
+    a = sh.selectExpr(
+        f"`{id_col}` AS id_a", "`shingles` AS _sh_a", "_nsh AS _na"
     )
-    b = sh.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("_sh_b"),
-        F.col("_nsh").alias("_nb"),
+    b = sh.selectExpr(
+        f"`{id_col}` AS id_b", "`shingles` AS _sh_b", "_nsh AS _nb"
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.col("_na") + F.col("_nb") - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    jac = (
+        "CASE WHEN (_na + _nb - size(array_intersect(_sh_a, _sh_b))) > 0 "
+        "THEN CAST(size(array_intersect(_sh_a, _sh_b)) AS DOUBLE) / "
+        "CAST(_na + _nb - size(array_intersect(_sh_a, _sh_b)) AS DOUBLE) "
+        "ELSE 0.0D END"
+    )
     return (
-        joined.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
+        joined.selectExpr("*", f"{jac} AS jaccard")
+        .filter(f"jaccard >= {threshold}")
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -204,13 +203,15 @@ def estimated_jaccard(
 ) -> DataFrame:
     """Signature-estimated Jaccard (fraction of agreeing minhashes) — the
     shingle-free verification path for extreme scale."""
-    a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
-    b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
+    a = sig_df.selectExpr(f"`{id_col}` AS id_a", "`sig` AS _sig_a")
+    b = sig_df.selectExpr(f"`{id_col}` AS id_b", "`sig` AS _sig_b")
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    agree = F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
-    est = agree.cast("double") / F.size("_sig_a").cast("double")
+    est = (
+        "CAST(size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y),"
+        " v -> v)) AS DOUBLE) / CAST(size(_sig_a) AS DOUBLE)"
+    )
     return (
-        joined.withColumn("jaccard_est", est)
-        .filter(F.col("jaccard_est") >= threshold)
+        joined.selectExpr("*", f"{est} AS jaccard_est")
+        .filter(f"jaccard_est >= {threshold}")
         .select("id_a", "id_b", "jaccard_est")
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,7 +49,7 @@ def _eager_metrics(b: DataFrame, bucket_cols: list[str], cap) -> PairGenMetrics:
 
 
 def _observed_metrics(
-    tagged: DataFrame, cap, id_col: str, w, fallback
+    tagged: DataFrame, cap, id_col: str, part: str, fallback
 ) -> tuple[DataFrame, "object"]:
     """Attach an Observation computing the drop metrics INSIDE the main
     action (zero extra jobs, zero extra scans — the eager path re-scans
@@ -70,7 +70,12 @@ def _observed_metrics(
     from pyspark.sql import Observation
 
     obs = Observation()
-    tagged = tagged.withColumn("_bmin", F.min(id_col).over(w))
+    # server-side-parsed window expression (same plan as a py4j Column
+    # chain; ``part`` is the backticked PARTITION BY list) — plan-build
+    # round trips are serial driver time on every pipeline run
+    tagged = tagged.selectExpr(
+        "*", f"min(`{id_col}`) OVER (PARTITION BY {part}) AS _bmin"
+    )
     first = F.col(id_col) == F.col("_bmin")
     over = F.col("_bsz") > cap if cap is not None else F.lit(False)
     one_if = lambda c: F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))  # noqa: E731
@@ -148,35 +153,38 @@ def candidate_pairs(
     # needs: the bucket table is exchanged ONCE (hash-partitioned + sorted
     # on the bucket cols by WindowExec), the size filter runs in place,
     # and the self-join consumes both branches with no further exchange
-    # or sort (runtime: one ReusedExchange). The previous shape — groupBy
-    # sizes + a shuffle-hash join-back — shuffled the partially-aggregated
-    # sizes AND the bucket table (two exchanges of ~|bands| rows each).
-    # Trade-off: WindowExec buffers each bucket before the filter drops
-    # it (spilling via ExternalAppendOnlyUnsafeRowArray), so a monster
-    # boilerplate bucket costs one linear spill instead of being streamed
-    # past — acceptable (linear, disk-backed) vs the quadratic blow-up
-    # the cap exists to stop.
-    w = Window.partitionBy(*bucket_cols)
-    tagged = b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    # or sort (runtime: one ReusedExchange — the merge hint below keeps
+    # the planner from breaking this shape with a broadcast). The
+    # previous shape — groupBy sizes + a shuffle-hash join-back —
+    # shuffled the partially-aggregated sizes AND the bucket table (two
+    # exchanges of ~|bands| rows each). Trade-off: WindowExec buffers
+    # each bucket before the filter drops it (spilling via
+    # ExternalAppendOnlyUnsafeRowArray), so a monster boilerplate bucket
+    # costs one linear spill instead of being streamed past — acceptable
+    # (linear, disk-backed) vs the quadratic blow-up the cap stops.
+    # Expressions are server-side-parsed SQL strings, not py4j Column
+    # chains: this builder runs once per family per plan, and the
+    # round trips are serial driver time (measured ~45% of the build).
+    part = ", ".join(f"`{c}`" for c in bucket_cols)
+    tagged = b.selectExpr(
+        "*", f"count(1) OVER (PARTITION BY {part}) AS _bsz"
+    )
     resolve = None
     if with_metrics == "observe":
         tagged, resolve = _observed_metrics(
-            tagged, bucket_cap, id_col, w,
+            tagged, bucket_cap, id_col, part,
             lambda: _eager_metrics(b, bucket_cols, bucket_cap),
         )
-    kept = (
-        tagged
-        .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= bucket_cap))
-        .drop("_bsz")
-    )
+    kept = tagged.filter(f"_bsz >= 2 AND _bsz <= {int(bucket_cap)}").drop("_bsz")
 
-    left = kept.select(
-        *bucket_cols, F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in carry],
+    bcols = [f"`{c}`" for c in bucket_cols]
+    left = kept.selectExpr(
+        *bcols, f"`{id_col}` AS id_a",
+        *[f"`{c}` AS `{c}_a`" for c in carry],
     )
-    right = kept.select(
-        *bucket_cols, F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in carry],
+    right = kept.selectExpr(
+        *bcols, f"`{id_col}` AS id_b",
+        *[f"`{c}` AS `{c}_b`" for c in carry],
     )
     out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
     # MERGE hint: without it the planner broadcasts one side of the
@@ -190,7 +198,7 @@ def candidate_pairs(
     # band join; identical rows), and sort-merge is the graceful-spill
     # choice at corpus scale anyway.
     pairs = left.join(right.hint("merge"), bucket_cols, "inner").filter(
-        F.col("id_a") < F.col("id_b")
+        "id_a < id_b"
     )
     if pair_filter is not None:
         pairs = pairs.filter(pair_filter)
@@ -248,75 +256,76 @@ def salted_candidate_pairs(
         b = b.dropDuplicates([*bucket_cols, id_col])
     # window-count sizes over the self-join's own exchange (see
     # candidate_pairs): one shuffle of the bucket table, reused by the
-    # cold self-join branches and the hot tiling
-    w = Window.partitionBy(*bucket_cols)
-    tagged = b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    # cold self-join branches and the hot tiling. Server-side-parsed
+    # SQL expressions throughout — same plans, fewer py4j round trips.
+    part = ", ".join(f"`{c}`" for c in bucket_cols)
+    tagged = b.selectExpr(
+        "*", f"count(1) OVER (PARTITION BY {part}) AS _bsz"
+    )
     resolve = None
     if with_metrics == "observe":
         # observe BEFORE the cap filter so dropped buckets are counted
         # (same zero-extra-pass contract as candidate_pairs)
         tagged, resolve = _observed_metrics(
-            tagged, bucket_cap, id_col, w,
+            tagged, bucket_cap, id_col, part,
             lambda: _eager_metrics(b, bucket_cols, bucket_cap),
         )
     if bucket_cap is not None:
-        tagged = tagged.filter(F.col("_bsz") <= bucket_cap)
+        tagged = tagged.filter(f"_bsz <= {int(bucket_cap)}")
 
+    bcols = [f"`{c}`" for c in bucket_cols]
+    carry_a = [f"`{c}` AS `{c}_a`" for c in carry]
+    carry_b = [f"`{c}` AS `{c}_b`" for c in carry]
     out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
-    cold = tagged.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= hot_threshold))
+    cold = tagged.filter(f"_bsz >= 2 AND _bsz <= {int(hot_threshold)}")
     cold_pairs = (
-        cold.select(
-            *bucket_cols, F.col(id_col).alias("id_a"),
-            *[F.col(c).alias(f"{c}_a") for c in carry],
-        )
+        cold.selectExpr(*bcols, f"`{id_col}` AS id_a", *carry_a)
         .join(
             # merge hint: see candidate_pairs — keeps the self-join on
             # the reused window exchange instead of a broadcast that
             # recomputes the subtree
-            cold.select(
-                *bucket_cols, F.col(id_col).alias("id_b"),
-                *[F.col(c).alias(f"{c}_b") for c in carry],
-            ).hint("merge"),
+            cold.selectExpr(*bcols, f"`{id_col}` AS id_b", *carry_b).hint(
+                "merge"
+            ),
             bucket_cols,
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter("id_a < id_b")
         .select(*out_cols)
     )
     if pair_filter is not None:
         cold_pairs = cold_pairs.filter(pair_filter)
 
-    hot = tagged.filter(F.col("_bsz") > hot_threshold).withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    hot = tagged.filter(f"_bsz > {int(hot_threshold)}").selectExpr(
+        "*",
+        f"CAST(pmod(xxhash64(`{id_col}`), {int(n_salts)}) AS INT) AS _salt",
     )
     # left side owns cells (s, s..n-1), right side cells (0..s, s): the
     # (cell_lo, cell_hi) equi-join covers every salt pair exactly once
-    left = hot.select(
-        *bucket_cols,
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in carry],
-        F.col("_salt").alias("_lo"),
-        F.explode(F.sequence(F.col("_salt"), F.lit(n_salts - 1))).alias("_hi"),
+    left = hot.selectExpr(
+        *bcols,
+        f"`{id_col}` AS id_a",
+        *carry_a,
+        "_salt AS _lo",
+        f"explode(sequence(_salt, {int(n_salts) - 1})) AS _hi",
     )
-    right = hot.select(
-        *bucket_cols,
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in carry],
-        F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_lo"),
-        F.col("_salt").alias("_hi"),
+    right = hot.selectExpr(
+        *bcols,
+        f"`{id_col}` AS id_b",
+        *carry_b,
+        "explode(sequence(0, _salt)) AS _lo",
+        "_salt AS _hi",
     )
     # a pair lands in exactly one cell oriented by SALT order, which is
     # independent of id order — canonicalize with least/greatest (an
     # id_a < id_b filter would drop pairs whose salt order disagrees);
     # carried columns swap with their ids
-    swapped = F.col("id_a") > F.col("id_b")
-    canon = [F.least("id_a", "id_b").alias("id_a"),
-             F.greatest("id_a", "id_b").alias("id_b")]
+    canon = ["least(id_a, id_b) AS id_a", "greatest(id_a, id_b) AS id_b"]
     for c in carry:
         canon.append(
-            F.when(swapped, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a")).alias(f"{c}_a")
+            f"CASE WHEN id_a > id_b THEN `{c}_b` ELSE `{c}_a` END AS `{c}_a`"
         )
         canon.append(
-            F.when(swapped, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_b")
+            f"CASE WHEN id_a > id_b THEN `{c}_a` ELSE `{c}_b` END AS `{c}_b`"
         )
     hot_pairs = (
         # merge hint: the hot branch's sides are the same exploded hot
@@ -324,8 +333,8 @@ def salted_candidate_pairs(
         # subtree and serialize a hot bucket's full tiling (unbounded at
         # corpus scale); SMJ shuffles each side once on the salted key
         left.join(right.hint("merge"), [*bucket_cols, "_lo", "_hi"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(*canon)
+        .filter("id_a != id_b")
+        .selectExpr(*canon)
     )
     if pair_filter is not None:
         hot_pairs = hot_pairs.filter(pair_filter)
