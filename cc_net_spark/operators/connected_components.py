@@ -100,34 +100,51 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     shuffles + a convergence action each; below the threshold that fixed
     cost dwarfs the work. (GraphFrames' CC has the same local fallback.)
 
-    Transfers both directions through Arrow (``toPandas`` /
-    ``createDataFrame(pandas)``) — Row-object collect + pickle
+    Transfers both directions through Arrow (``toArrow`` /
+    ``createDataFrame(pyarrow.Table)``) — Row-object collect + pickle
     createDataFrame cost several flat seconds at ~10^5 edges.
 
     The union-find itself is VECTORIZED (round 6): hook-to-min +
     pointer-jumping over numpy index arrays — O(E) C-speed work per
     pass, O(log n) passes — replacing the 2·E-iteration python dict
-    loop (the measured driver-path floor at bench scale). ``np.unique``
-    assigns codes in sorted id order, so the min CODE of a component is
-    the min ID (lexicographic for strings) and labels are byte-identical
-    to the sequential implementation."""
+    loop (the measured driver-path floor at bench scale). Ids are coded
+    in sorted id order, so the min CODE of a component is the min ID
+    (lexicographic for strings) and labels are byte-identical to the
+    sequential implementation."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    pdf = e.toPandas()
-    if not len(pdf):
+    # Arrow end to end: toArrow() skips the toPandas python-str
+    # materialization of every edge endpoint, and string ids are coded
+    # via hash-based dictionary_encode (O(n) in C) + a sort of only the
+    # UNIQUE ids instead of np.unique's O(n log n) full-array string
+    # sort — measured 0.69 s -> 0.10 s at 960k endpoints, byte-identical
+    # output. This is pure DRIVER time that does not shrink with
+    # executors, i.e. exactly the Amdahl term that caps leg scaling.
+    tbl = e.toArrow()
+    m = tbl.num_rows
+    if not m:
         return e.sparkSession.createDataFrame([], _assign_schema(e))
-    arr = np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
-    if arr.dtype == object:
-        # string ids arrive as an object array whose np.unique falls
-        # back to per-element python compares (~1 s/M ids — a pure
-        # DRIVER cost that does not shrink with executors). Fixed-width
-        # numpy unicode sorts with C memcmp at ~10x that; code-point
-        # order matches both python str and Spark UTF8String ordering,
-        # so labels are unchanged.
-        arr = arr.astype("U")
-    uniq, inv = np.unique(arr, return_inverse=True)
-    m = len(pdf)
+    both = pa.chunked_array(
+        list(tbl["src"].chunks) + list(tbl["dst"].chunks)
+    ).combine_chunks()
+    if pa.types.is_string(both.type) or pa.types.is_large_string(both.type):
+        enc = both.dictionary_encode()
+        codes = enc.indices.to_numpy()
+        d = enc.dictionary
+        # rank codes in sorted-id order so min CODE = min ID (arrow's
+        # binary utf8 order = UTF8String order = python str order)
+        order = pc.sort_indices(d).to_numpy()
+        rank = np.empty(len(d), dtype=codes.dtype)
+        rank[order] = np.arange(len(d), dtype=codes.dtype)
+        inv = rank[codes]
+        uniq = pc.take(d, pa.array(order))
+    else:
+        # numeric ids: np.unique on fixed-width ints is already C-speed
+        arr = both.to_numpy()
+        uniq_np, inv = np.unique(arr, return_inverse=True)
+        uniq = pa.array(uniq_np)
     u, v = inv[:m], inv[m:]
     parent = np.arange(len(uniq))
     # converges in O(log n) hook+compress passes; the bound is a
@@ -146,8 +163,9 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
         np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
     else:
         raise RuntimeError("driver union-find did not converge in 64 passes")
-    assign = pd.DataFrame({"id": uniq, "cluster_id": uniq[parent]})
-    return e.sparkSession.createDataFrame(assign, _assign_schema(e))
+    labels = pc.take(uniq, pa.array(parent))
+    out = pa.table({"id": uniq, "cluster_id": labels})
+    return e.sparkSession.createDataFrame(out, _assign_schema(e))
 
 
 def connected_components(

@@ -388,9 +388,21 @@ class StageRunner:
         return results
 
     def _run_one(self, st: Stage) -> dict:
+        # SPARK_GRAFT_STAGE_DEBUG=1: phase timing to stderr — the
+        # driver-side (core-count-invariant) cost decomposition per stage
+        dbg = os.environ.get("SPARK_GRAFT_STAGE_DEBUG") == "1"
+        marks: list[tuple[str, float]] = []
+
+        def mark(label: str) -> None:
+            if dbg:
+                marks.append((label, time.time()))
+
         t0 = time.time()
+        mark("start")
         inputs = {name: self.load(name) for name in st.inputs}
+        mark("load_inputs")
         built = st.build(self.spark, **inputs)
+        mark("build")
         build_metrics: dict = {}
         if isinstance(built, tuple):
             df, build_metrics = built
@@ -399,6 +411,7 @@ class StageRunner:
 
         final = self.data_path(st.name)
         schema_json = readback_schema_json(df)
+        mark("schema_json")
         snapshot_id = None
         if self.use_snapshots:
             table = self._table(st.name)
@@ -410,11 +423,13 @@ class StageRunner:
         else:
             tmp = self.workdir / f"_tmp-{st.name}-{uuid.uuid4().hex[:8]}"
             df.write.mode("overwrite").parquet(str(tmp))
+            mark("write_action")
             if final.exists():
                 shutil.rmtree(final)
             os.rename(tmp, final)
             # rows + per-partition records from footers: zero Spark jobs
             n_rows, partitions = _scan_parquet_dir(final)
+            mark("footer_scan")
         # observe-mode metrics (operators/pairs._observed_metrics) are
         # callables resolvable only after the write action above ran
         build_metrics = {
@@ -442,6 +457,7 @@ class StageRunner:
         else:
             extra = {}
         extra = {**build_metrics, **extra}
+        mark("metrics")
         manifest = {
             "stage": st.name,
             "rows": n_rows,
@@ -459,6 +475,19 @@ class StageRunner:
             **({"snapshot_id": snapshot_id} if snapshot_id is not None else {}),
         }
         self.manifest_path(st.name).write_text(json.dumps(manifest, indent=2))
+        if dbg:
+            import sys as _sys
+
+            prev = marks[0][1]
+            parts = []
+            for label, ts in marks[1:]:
+                parts.append(f"{label}={ts - prev:.3f}")
+                prev = ts
+            parts.append(f"manifest={time.time() - prev:.3f}")
+            print(
+                f"[stage-debug] {st.name}: " + " ".join(parts),
+                file=_sys.stderr, flush=True,
+            )
         return manifest
 
     # -- lineage / metrics tables -------------------------------------------
