@@ -69,6 +69,7 @@ from cc_net_spark.sources.hadoop_fs import (
     write_small_text,
 )
 from cc_net_spark.streaming.incremental_neardup import (
+    _conf_overrides,
     _join_path,
     _read_optional,
     _run_parallel,
@@ -107,6 +108,8 @@ class IncrementalClusters:
         n_state_buckets: int = 64,
         driver_threshold: int = 2_000_000,
         max_alias_hops: int = 20,
+        small_fold_rows: int = 200_000,
+        small_fold_shuffle_parts: int = 8,
     ):
         self.state_path = state_path
         self.cassign_path = _join_path(state_path, "cassign")
@@ -115,6 +118,20 @@ class IncrementalClusters:
         self.id_col = id_col
         self.n_state_buckets = n_state_buckets
         self.driver_threshold = driver_threshold
+        # small-fold planner: when the caller supplies row BOUNDS for a
+        # batch (``update(..., pairs_rows=, ids_rows=)`` — parquet
+        # footers via fold_new_batches) and ids + 4*pairs stays under
+        # ``small_fold_rows``, the fold runs with AQE off and
+        # ``small_fold_shuffle_parts`` shuffle partitions: a micro-batch
+        # fold's shuffles carry KBs, and its wall is serial job barriers
+        # (AQE's per-stage jobs) plus per-task overhead on session-sized
+        # exchanges — the same planner contract as IncrementalNearDup's
+        # small_batch_mode, but derived from measured input size instead
+        # of a caller flag, so corpus-sized backfill folds keep the full
+        # session planner. Plan-only: outputs are identical either way
+        # (parity-tested). small_fold_shuffle_parts <= 0 disables.
+        self.small_fold_rows = small_fold_rows
+        self.small_fold_shuffle_parts = small_fold_shuffle_parts
         # alias chains deepen by at most 1 per merge that lands on an
         # already-aliased root BETWEEN compactions; a bound this high is
         # unreachable in practice and turns a resolution cycle (which
@@ -245,6 +262,7 @@ class IncrementalClusters:
         batch_id: int,
         *,
         pairs_rows: int | None = None,
+        ids_rows: int | None = None,
     ) -> None:
         """Fold one batch's duplicate pairs into the cluster state.
 
@@ -264,7 +282,42 @@ class IncrementalClusters:
         distinct + count() — one full shuffle and one action fewer per
         fold, on the path whose wall is almost entirely serial job
         barriers.
+
+        ``ids_rows``: caller-known upper bound on the batch_ids row
+        count (flags-partition footer via ``fold_new_batches``).
+        Together with ``pairs_rows`` it sizes the fold's planner: see
+        ``small_fold_rows`` in the constructor.
         """
+        spark = batch_ids.sparkSession
+        bound = (
+            ids_rows + 4 * pairs_rows
+            if ids_rows is not None and pairs_rows is not None
+            else None
+        )
+        if (
+            bound is not None
+            and bound <= self.small_fold_rows
+            and self.small_fold_shuffle_parts > 0
+        ):
+            with _conf_overrides(spark, {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": str(
+                    self.small_fold_shuffle_parts
+                ),
+            }):
+                return self._update(batch_ids, pairs, batch_id,
+                                    pairs_rows=pairs_rows)
+        return self._update(batch_ids, pairs, batch_id,
+                            pairs_rows=pairs_rows)
+
+    def _update(
+        self,
+        batch_ids: DataFrame,
+        pairs: DataFrame,
+        batch_id: int,
+        *,
+        pairs_rows: int | None = None,
+    ) -> None:
         spark = batch_ids.sparkSession
         idc = self.id_col
         self._check_meta(spark)
@@ -635,9 +688,8 @@ def fold_new_batches(
         if b > hwm or (b == hwm and not hwm_committed)
     ]
     for b in todo:
-        ids = spark.read.parquet(
-            _join_path(flags_base, f"_batch_id={b}")
-        ).select(id_col)
+        flags_dir = _join_path(flags_base, f"_batch_id={b}")
+        ids = spark.read.parquet(flags_dir).select(id_col)
         pairs_dir = _join_path(pairs_base, f"_batch_id={b}")
         pairs = _read_optional(spark, pairs_dir)
         if pairs is None:
@@ -647,5 +699,11 @@ def fold_new_batches(
             rows = 0
         else:
             rows = _parquet_footer_rows(pairs_dir)
-        ic.update(ids, pairs, b, pairs_rows=rows)
+        ic.update(
+            ids, pairs, b,
+            pairs_rows=rows,
+            # footer row bound for the arrival side: sizes the fold's
+            # small-batch planner (see IncrementalClusters.update)
+            ids_rows=_parquet_footer_rows(flags_dir),
+        )
     return todo

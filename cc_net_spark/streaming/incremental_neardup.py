@@ -226,6 +226,7 @@ class IncrementalNearDup:
         emb_bands: int = 4,
         emb_seed: int = 7,
         small_batch_mode: bool = False,
+        small_batch_shuffle_parts: int = 8,
         state_filter_keys: int = 512,
     ):
         unknown = set(families) - set(FAMILIES)
@@ -291,6 +292,16 @@ class IncrementalNearDup:
         # is plan-independent (tested); choose it when batches are small
         # relative to state and skew is already bounded by the caps.
         self.small_batch_mode = small_batch_mode
+        # small_batch_shuffle_parts: with AQE off, every shuffle in the
+        # probe would otherwise run the SESSION's partition count —
+        # sized for corpus jobs, not for a micro-batch whose shuffles
+        # carry KBs by this mode's own contract. 8 caps useful
+        # parallelism per exchange at any cluster size (the serial job
+        # barriers, not task slots, bound probe latency; measured
+        # alternating same-session A/B at 32 cores: minhash probe
+        # 7.7 -> 4.8 s, embedding probe 7.0 -> 4.2 s best-of). <= 0
+        # keeps the session value; irrelevant outside small_batch_mode.
+        self.small_batch_shuffle_parts = small_batch_shuffle_parts
         self._meta_checked = False
         # one file-listing/schema-inference per state table per batch;
         # cleared at the top of process_batch so a batch never sees its
@@ -671,7 +682,12 @@ class IncrementalNearDup:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not self.small_batch_mode:
             return self._process_batch(batch, batch_id)
-        with _conf_overrides(batch.sparkSession, SMALL_BATCH_CONFS):
+        confs = dict(SMALL_BATCH_CONFS)
+        if self.small_batch_shuffle_parts > 0:
+            confs["spark.sql.shuffle.partitions"] = str(
+                self.small_batch_shuffle_parts
+            )
+        with _conf_overrides(batch.sparkSession, confs):
             return self._process_batch(batch, batch_id)
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:

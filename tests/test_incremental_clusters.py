@@ -408,3 +408,34 @@ def test_fold_new_batches_refolds_a_partial_crashed_fold(spark, tmp_path):
     ic = IncrementalClusters(state, n_state_buckets=8)
     got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
     assert got == _batch_truth(spark, BATCHES[:2])
+
+
+def test_small_fold_planner_is_plan_only(spark, tmp_path):
+    """Row bounds (``update(..., pairs_rows=, ids_rows=)``) under
+    ``small_fold_rows`` switch the fold to the low-latency planner (AQE
+    off + few shuffle partitions) — a PLANNER change only: state rows
+    match the unbounded fold exactly, and the session confs are
+    restored afterwards."""
+    outs = {}
+    for label, with_bounds in (("plain", False), ("small", True)):
+        ic = IncrementalClusters(str(tmp_path / label), n_state_buckets=8)
+        for bid, (ids, pairs) in enumerate(BATCHES):
+            kw = (
+                {"pairs_rows": len(pairs), "ids_rows": len(ids)}
+                if with_bounds
+                else {}
+            )
+            ic.update(_ids(spark, ids), _pairs(spark, pairs), bid, **kw)
+        outs[label] = {
+            t: sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(str(tmp_path / label / t))
+                    .drop("_kb", "_batch_id")
+                    .collect(),
+                )
+            )
+            for t in ("cassign", "calias")
+        }
+    assert outs["small"] == outs["plain"]
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
