@@ -439,3 +439,49 @@ def test_small_fold_planner_is_plan_only(spark, tmp_path):
         }
     assert outs["small"] == outs["plain"]
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_crashed_clusters_swap_recovers_without_id_loss(spark, tmp_path):
+    """Crash-inject the compact+swap the CLI workflow documents for the
+    CLUSTERS state (same two-rename protocol as the LSH state): kill
+    between rename 1 (live -> _precompact) and rename 2 (_compacting ->
+    live), heal with recover_state_swap, restart the fold — every id
+    resolves exactly as before the crash, and a new batch still folds."""
+    import shutil
+
+    from cc_net_spark.streaming.incremental_clusters import fold_new_batches
+    from cc_net_spark.streaming.incremental_neardup import recover_state_swap
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    _write_handler_output(spark, out, BATCHES, upto=2)
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [0, 1]
+    want = _batch_truth(spark, BATCHES[:2])
+    compact_clusters_state(
+        spark, state, f"{state}_compacting", upto_batch=2, n_state_buckets=8
+    )
+    # crash window: rename 1 done, rename 2 never happens — NO live tree
+    shutil.move(state, f"{state}_precompact")
+    assert not (tmp_path / "state").exists()
+    # a naive restart would see "no state" and rebuild from empty;
+    # recovery must delete the unswapped _compacting tree and restore
+    # the original
+    assert recover_state_swap(spark, state)
+    assert not (tmp_path / "state_compacting").exists()
+    assert not (tmp_path / "state_precompact").exists()
+    ic = IncrementalClusters(state, n_state_buckets=8)
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == want  # no id lost, no assignment changed
+    # the fold restarts cleanly on the healed tree: already current,
+    # then a genuinely new batch folds on top
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == []
+    _write_handler_output(spark, out, BATCHES)
+    assert fold_new_batches(spark, out, state, n_state_buckets=8) == [2]
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == _batch_truth(spark)
+    # crash AFTER rename 2 (leftover _precompact beside a complete live
+    # tree): recovery just drops the leftover, state untouched
+    shutil.copytree(state, f"{state}_precompact")
+    assert recover_state_swap(spark, state)
+    assert not (tmp_path / "state_precompact").exists()
+    got = {r["clip_id"]: r["cluster_id"] for r in ic.current(spark).collect()}
+    assert got == _batch_truth(spark)
